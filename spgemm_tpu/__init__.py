@@ -1,0 +1,45 @@
+"""spgemm_tpu — a TPU-native tiled sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of TileSpGEMM
+(PPoPP'22; reference fork at for-the-juan/SpGEMM): general sparse matrix-matrix
+multiplication C = A*B with sparse A, B, C (C = A^2 and C = A*A^T), built on a
+tiled sparse format, plus SpMV/SpMM on the same structure and multi-chip
+scaling via jax.sharding meshes.
+
+Architecture (TPU-first, not a CUDA port):
+  * models/  — the data model: CSR and the tiled sparse format (`TileMat`).
+               Host-side converters (csr2tile / tile2csr / transpose) are
+               vectorized NumPy (argsort/reduceat), with an optional C++
+               fast path.
+  * ops/     — compute: symbolic tile-grid SpGEMM (pair-list construction),
+               the numeric tile-pair product pipeline (batched MXU matmuls +
+               segment reduction in XLA; fused Pallas kernel as the fast
+               path), golden reference algorithms (SPA / dense-row / ESC),
+               and SpMV/SpMM.
+  * parallel/— multi-chip execution: C-tile work partitioning over a
+               jax.sharding.Mesh with shard_map, B tile all-gather over ICI.
+  * utils/   — timing, CSV sinks, roofline accounting.
+  * io/      — Matrix Market reader/writer.
+
+Reference parity map lives in SURVEY.md; each module's docstring cites the
+reference component (file:line under /root/reference) it replaces.
+"""
+
+from spgemm_tpu.models.csr import CSR
+from spgemm_tpu.models.tile import TileMat, csr_to_tiles, tiles_to_csr
+from spgemm_tpu.ops.spgemm import spgemm, SpGEMMResult
+from spgemm_tpu.io.mmio import read_mtx, write_mtx
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "CSR",
+    "TileMat",
+    "csr_to_tiles",
+    "tiles_to_csr",
+    "spgemm",
+    "SpGEMMResult",
+    "read_mtx",
+    "write_mtx",
+    "__version__",
+]

@@ -1,0 +1,192 @@
+"""SpGEMM orchestrator: C = A @ B on the tiled format, end to end.
+
+The TPU-native counterpart of the reference's `tilespgemm()` host
+orchestrator (`src/tilespgemm-cuda.h:2220-2844`): runs the symbolic phase
+(pair schedule, host), the numeric phase (batched MXU products, device,
+jitted), and compaction back to the tiled format, with per-phase timing
+matching the reference's step-time reporting
+(`tilespgemm-cuda.h:2360-2372,2407-2411,2606-2615,2730-2741`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgemm_tpu.models.csr import CSR, INDEX_DTYPE, flop_count_spgemm
+from spgemm_tpu.models.tile import TileMat, cdiv, csr_to_tiles
+from spgemm_tpu.ops import numeric as num_ops
+from spgemm_tpu.ops.symbolic import PairSchedule, build_pair_schedule
+
+DEFAULT_CHUNK = 32768
+
+
+@dataclasses.dataclass
+class SpGEMMResult:
+    c: TileMat
+    schedule: PairSchedule
+    timings_ms: dict[str, float]
+    stats: dict[str, float]
+
+
+def _compact_to_tilemat(
+    ctrow: np.ndarray,
+    ctcol: np.ndarray,
+    c_val: np.ndarray,   # (ntC, tm, tn)
+    c_cnt: np.ndarray,   # (ntC, tm, tn) structural product counts
+    shape: tuple[int, int],
+    tm: int,
+    tn: int,
+) -> TileMat:
+    """Dense per-tile accumulators -> TileMat; prunes structurally empty
+    candidate tiles (grid-level false positives, the analogue of the
+    reference's zero-nnz tiles after step 3)."""
+    from spgemm_tpu.models.tile import _build_tilemat
+
+    occ = c_cnt > 0
+    keep = occ.any(axis=(1, 2))
+    ctrow, ctcol = ctrow[keep], ctcol[keep]
+    occ, c_val = occ[keep], c_val[keep]
+    ntk = ctrow.size
+    gm, gn = cdiv(shape[0], tm), cdiv(shape[1], tn)
+
+    tid, rcflat = np.nonzero(occ.reshape(ntk, tm * tn))
+    vals = c_val.reshape(ntk, tm * tn)[tid, rcflat].astype(np.float64)
+    tile_key = ctrow[tid].astype(np.int64) * gn + ctcol[tid]
+    # (tid ascending, rcflat row-major ascending) is already the canonical
+    # order _build_tilemat expects.
+    return _build_tilemat(
+        shape=shape,
+        tm=tm,
+        tn=tn,
+        tile_key=tile_key,
+        rc=rcflat.astype(INDEX_DTYPE),
+        val=vals,
+        gm=gm,
+        gn=gn,
+    )
+
+
+def spgemm(
+    a: TileMat,
+    b: TileMat,
+    *,
+    compute_dtype=jnp.float32,
+    acc_dtype=None,
+    chunk: int = DEFAULT_CHUNK,
+    backend: str = "xla",
+    device=None,
+    sync: bool = True,
+) -> SpGEMMResult:
+    """Sparse C = A @ B on the tiled format.
+
+    backend: "xla" — batched gather + einsum + scatter-add (portable, runs
+    on CPU for tests); "pallas" — fused per-C-tile kernel (TPU fast path,
+    see ops/pallas_kernels.py).
+    """
+    acc_dtype = acc_dtype or compute_dtype
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    sched = build_pair_schedule(a, b)
+    timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    a_val = jnp.asarray(a.dense(np.float32 if compute_dtype == jnp.float32
+                                else np.float64), dtype=compute_dtype)
+    b_val = jnp.asarray(b.dense(np.float32 if compute_dtype == jnp.float32
+                                else np.float64), dtype=compute_dtype)
+    a_occ = jnp.asarray(a.occ(), dtype=jnp.float32)
+    b_occ = jnp.asarray(b.occ(), dtype=jnp.float32)
+    if device is not None:
+        a_val, b_val, a_occ, b_occ = jax.device_put(
+            (a_val, b_val, a_occ, b_occ), device
+        )
+    timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    pa, pb, seg = num_ops.pad_pairs(
+        sched.pa, sched.pb, sched.seg, sched.nt_c, chunk
+    )
+    if backend == "pallas":
+        from spgemm_tpu.ops.pallas_kernels import pair_accumulate_pallas
+
+        c_val_d, c_cnt_d = pair_accumulate_pallas(
+            a_val, a_occ, b_val, b_occ,
+            jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(sched.pair_ptr),
+            num_segments=sched.nt_c,
+            acc_dtype=acc_dtype,
+        )
+    else:
+        c_val_d, c_cnt_d = num_ops.pair_accumulate(
+            a_val, a_occ, b_val, b_occ,
+            jnp.asarray(pa), jnp.asarray(pb), jnp.asarray(seg),
+            num_segments=sched.nt_c,
+            chunk=chunk,
+            acc_dtype=acc_dtype,
+        )
+    if sync:
+        jax.block_until_ready((c_val_d, c_cnt_d))
+    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    c_val = np.asarray(c_val_d, dtype=np.float64)
+    c_cnt = np.asarray(c_cnt_d)
+    c = _compact_to_tilemat(
+        sched.ctrow, sched.ctcol, c_val, c_cnt,
+        (a.m, b.n), a.tm, b.tn,
+    )
+    timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+
+    stats = {
+        "num_pairs": float(sched.num_pairs),
+        "numblkC_candidate": float(sched.nt_c),
+        "numblkC": float(c.nt),
+        "nnzC": float(c.nnz),
+    }
+    return SpGEMMResult(c=c, schedule=sched, timings_ms=timings, stats=stats)
+
+
+def spgemm_csr(
+    a: CSR,
+    b: CSR | None = None,
+    *,
+    tm: int = 16,
+    tn: int = 16,
+    aat: bool = False,
+    **kw,
+) -> tuple[CSR, SpGEMMResult]:
+    """CSR-level convenience API, the analogue of the reference driver's
+    flow (`src/main.cu:97-350`): tile A (row-major role), derive B as A,
+    A^T (aat), or an explicit matrix, multiply, and return CSR C.
+
+    With aat=True, B = A^T is produced directly in tile space
+    (TileMat.transpose_tiles) — no CSR transpose round-trip.
+    """
+    at = csr_to_tiles(a, tm, tn)
+    if aat:
+        if b is not None:
+            raise ValueError("pass either b or aat=True, not both")
+        bt = at.transpose_tiles()
+    elif b is None:
+        if a.m != a.n:
+            raise ValueError("C = A^2 requires square A (reference main.cu:102-106)")
+        bt = at
+    else:
+        bt = csr_to_tiles(b, tm, tn)
+    res = spgemm(at, bt, **kw)
+    c_csr = res.c.to_csr()
+    nnz_cub = flop_count_spgemm(a, b if b is not None else
+                                (a.transpose() if aat else a))
+    res.stats["nnzCub"] = float(nnz_cub)
+    if res.stats["nnzC"] > 0:
+        res.stats["compression"] = nnz_cub / res.stats["nnzC"]
+    total_device_ms = res.timings_ms["numeric_ms"]
+    if total_device_ms > 0:
+        res.stats["gflops"] = 2.0 * nnz_cub / (total_device_ms * 1e6)
+    return c_csr, res

@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+
+from spgemm_tpu.io.mmio import MatrixMarketError, read_mtx, write_mtx
+from spgemm_tpu.models.csr import CSR
+
+
+def test_read_general(tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% comment\n"
+        "3 4 3\n"
+        "1 1 2.5\n"
+        "3 4 -1.0\n"
+        "2 2 7\n"
+    )
+    csr, sym = read_mtx(p)
+    assert not sym
+    assert csr.shape == (3, 4) and csr.nnz == 3
+    d = csr.to_dense()
+    assert d[0, 0] == 2.5 and d[2, 3] == -1.0 and d[1, 1] == 7.0
+
+
+def test_read_symmetric_expansion(tmp_path):
+    p = tmp_path / "s.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 3\n"
+        "1 1 1.0\n"
+        "2 1 2.0\n"
+        "3 2 3.0\n"
+    )
+    csr, sym = read_mtx(p)
+    assert sym
+    d = csr.to_dense()
+    np.testing.assert_array_equal(d, d.T)
+    assert csr.nnz == 5  # diag kept once, off-diag mirrored
+
+
+def test_read_skew_symmetric(tmp_path):
+    p = tmp_path / "k.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 2\n"
+        "2 1 2.0\n"
+        "3 1 -4.0\n"
+    )
+    csr, _ = read_mtx(p)
+    d = csr.to_dense()
+    np.testing.assert_array_equal(d, -d.T)
+
+
+def test_read_pattern(tmp_path):
+    p = tmp_path / "p.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "2 2 2\n"
+        "1 2\n"
+        "2 1\n"
+    )
+    csr, _ = read_mtx(p)
+    np.testing.assert_array_equal(csr.data, [1.0, 1.0])
+
+
+def test_read_complex_takes_real(tmp_path):
+    p = tmp_path / "c.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "2 2 1\n"
+        "1 1 3.0 4.0\n"
+    )
+    csr, _ = read_mtx(p)
+    assert csr.to_dense()[0, 0] == 3.0
+
+
+def test_read_integer_and_dedup(tmp_path):
+    p = tmp_path / "i.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate integer general\n"
+        "2 2 3\n"
+        "1 1 2\n"
+        "1 1 3\n"
+        "2 2 4\n"
+    )
+    csr, _ = read_mtx(p)
+    assert csr.nnz == 2
+    assert csr.to_dense()[0, 0] == 5.0  # duplicates summed
+
+
+def test_read_array_format(tmp_path):
+    p = tmp_path / "a.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix array real general\n"
+        "2 2\n"
+        "1\n2\n3\n4\n"
+    )
+    csr, _ = read_mtx(p)
+    np.testing.assert_array_equal(
+        csr.to_dense(), np.array([[1.0, 3.0], [2.0, 4.0]])
+    )
+
+
+def test_roundtrip_write_read(tmp_path, make_random_csr):
+    a = make_random_csr(20, 30, 0.1, integer_vals=False)
+    p = tmp_path / "rt.mtx"
+    write_mtx(p, a, comment="roundtrip")
+    b, _ = read_mtx(p)
+    assert a.allclose(b)
+
+
+def test_bad_banner(tmp_path):
+    p = tmp_path / "bad.mtx"
+    p.write_text("nope\n1 1 0\n")
+    with pytest.raises(MatrixMarketError):
+        read_mtx(p)
+
+
+def test_nnz_mismatch(tmp_path):
+    p = tmp_path / "bad2.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n2 2 2\n1 1 1.0\n"
+    )
+    with pytest.raises(MatrixMarketError):
+        read_mtx(p)
+
+
+def test_reference_fixtures_if_present():
+    """Cross-check against the reference's 36x36 fixture family when the
+    reference tree is mounted (skipped elsewhere)."""
+    import os
+
+    fixdir = "/root/reference/UnitTest/CSR2TILE"
+    if not os.path.isdir(fixdir):
+        pytest.skip("reference fixtures not available")
+    import csv
+
+    # random_0.1_36x36 is excluded: its .mtx and .csv disagree even
+    # structurally (249 vs 245 nnz) in the reference tree itself.
+    for name in ["diagonal_36x36", "tridiagonal_36x36", "banded_36x36",
+                 "random_0.05_36x36", "random_0.15_36x36"]:
+        csr, _ = read_mtx(os.path.join(fixdir, name + ".mtx"))
+        with open(os.path.join(fixdir, name + ".csv")) as f:
+            rows = list(csv.reader(f))
+        dense = np.array(
+            [[float(x) for x in row[1:]] for row in rows[1:]]
+        )  # header row + row-label column
+        # the reference's .mtx and .csv fixtures were generated in separate
+        # runs and agree only structurally — compare patterns
+        np.testing.assert_array_equal(csr.to_dense() != 0, dense != 0)
