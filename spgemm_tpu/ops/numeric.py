@@ -63,18 +63,25 @@ def pack_mask(occ: jax.Array, tn: int) -> jax.Array:
 
 
 def _pair_matmuls(a_val, a_occ, b_val, b_occ, acc_dtype):
-    """Batched per-pair products: values and structural counts."""
+    """Batched per-pair products: values and structural counts.
+
+    Precision.HIGHEST: TPU MXU default precision multiplies f32 inputs in
+    bf16, which loses ~3 decimal digits — unacceptable for a numerics
+    library. HIGHEST selects the f32-equivalent multi-pass path.
+    """
     prod = jax.lax.dot_general(
         a_val,
         b_val,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=acc_dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
     cnt = jax.lax.dot_general(
         a_occ,
         b_occ,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return prod, cnt
 

@@ -89,6 +89,11 @@ def spgemm(
     see ops/pallas_kernels.py).
     """
     acc_dtype = acc_dtype or compute_dtype
+    if jnp.dtype(compute_dtype) == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 SpGEMM needs jax_enable_x64=True "
+            "(jax.config.update('jax_enable_x64', True))"
+        )
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
@@ -117,10 +122,12 @@ def spgemm(
 
         c_val_d, c_cnt_d = pair_accumulate_pallas(
             a_val, a_occ, b_val, b_occ,
-            jnp.asarray(pa), jnp.asarray(pb),
+            jnp.asarray(sched.pa), jnp.asarray(sched.pb),
             jnp.asarray(sched.pair_ptr),
             num_segments=sched.nt_c,
             acc_dtype=acc_dtype,
+            # interpret off-TPU so the kernel is testable on CPU
+            interpret=jax.default_backend() == "cpu",
         )
     else:
         c_val_d, c_cnt_d = num_ops.pair_accumulate(
@@ -169,16 +176,20 @@ def spgemm_csr(
     (TileMat.transpose_tiles) — no CSR transpose round-trip.
     """
     at = csr_to_tiles(a, tm, tn)
+    # Inner blocking must agree: A tiles are (tm, tn), so the B-role matrix
+    # is tiled (tn, tn) and C comes out (tm, tn).
     if aat:
         if b is not None:
             raise ValueError("pass either b or aat=True, not both")
-        bt = at.transpose_tiles()
+        bt = at.transpose_tiles() if tm == tn else csr_to_tiles(
+            a.transpose(), tn, tn
+        )
     elif b is None:
         if a.m != a.n:
             raise ValueError("C = A^2 requires square A (reference main.cu:102-106)")
-        bt = at
+        bt = at if tm == tn else csr_to_tiles(a, tn, tn)
     else:
-        bt = csr_to_tiles(b, tm, tn)
+        bt = csr_to_tiles(b, tn, tn)
     res = spgemm(at, bt, **kw)
     c_csr = res.c.to_csr()
     nnz_cub = flop_count_spgemm(a, b if b is not None else

@@ -1,0 +1,40 @@
+"""Wall-clock timing helpers (the reference's TIMING instrumentation,
+`src/common.h:93-95`, gettimeofday bracketing)."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+
+class StepTimer:
+    """Collects named step durations in milliseconds."""
+
+    def __init__(self) -> None:
+        self.ms: dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def step(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.ms[name] = self.ms.get(name, 0.0) + (
+                time.perf_counter() - t0
+            ) * 1e3
+
+    def total(self) -> float:
+        return sum(self.ms.values())
+
+
+def best_of(fn, repeats: int = 3) -> tuple[float, object]:
+    """Run fn() `repeats` times, return (best_ms, last_result) — the
+    reference's REPEAT_NUM best-of loop (`common.h:91`,
+    `tilespgemm-cuda.h:2800-2808`)."""
+    best = float("inf")
+    result = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        result = fn()
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best, result

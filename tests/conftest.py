@@ -7,12 +7,20 @@ project's testing contract.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon site plugin re-forces jax_platforms="axon,cpu" from
+# sitecustomize regardless of the env var; override it back to CPU so unit
+# tests never touch (slow, tunneled) TPU hardware.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)  # fp64 golden-path tests
 
 import numpy as np
 import pytest

@@ -1,0 +1,118 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spgemm_tpu.models.csr import CSR
+from spgemm_tpu.models.tile import csr_to_tiles
+from spgemm_tpu.ops import golden
+from spgemm_tpu.ops.spgemm import spgemm, spgemm_csr
+from spgemm_tpu.ops.symbolic import build_pair_schedule
+
+
+def test_pair_schedule_matches_grid_product(make_random_csr):
+    a = make_random_csr(64, 48, 0.05)
+    b = make_random_csr(48, 80, 0.05)
+    at, bt = csr_to_tiles(a, 16, 16), csr_to_tiles(b, 16, 16)
+    sched = build_pair_schedule(at, bt)
+    # candidate C tiles == nnz of the boolean grid product
+    ga = np.zeros((at.gm, at.gn))
+    ga[at.trow, at.tcol] = 1
+    gb = np.zeros((bt.gm, bt.gn))
+    gb[bt.trow, bt.tcol] = 1
+    gc = ga @ gb
+    assert sched.nt_c == int((gc > 0).sum())
+    # pair count == total grid products
+    assert sched.num_pairs == int(gc.sum())
+    # segments sorted, pair_ptr consistent
+    assert np.all(np.diff(sched.seg) >= 0)
+    assert np.array_equal(
+        np.diff(sched.pair_ptr), np.bincount(sched.seg, minlength=sched.nt_c)
+    )
+    # k ascending within each segment
+    ks = at.tcol[sched.pa]
+    for s in range(min(sched.nt_c, 40)):
+        lo, hi = sched.pair_ptr[s], sched.pair_ptr[s + 1]
+        assert np.all(np.diff(ks[lo:hi]) > 0)
+
+
+@pytest.mark.parametrize("tm,tn", [(16, 16), (8, 32)])
+def test_spgemm_square_vs_oracle(make_random_csr, tm, tn):
+    a = make_random_csr(150, 150, 0.03)
+    c, res = spgemm_csr(a, tm=tm, tn=tn)
+    ref = golden.spgemm_dense_row(a, a)
+    assert c.pattern_equal(ref)
+    np.testing.assert_allclose(c.data, ref.data, rtol=1e-6)
+
+
+def test_spgemm_rectangular(make_random_csr):
+    a = make_random_csr(90, 120, 0.04)
+    b = make_random_csr(120, 70, 0.04)
+    c, _ = spgemm_csr(a, b)
+    ref = golden.spgemm_esc(a, b)
+    assert c.pattern_equal(ref)
+    np.testing.assert_allclose(c.data, ref.data, rtol=1e-6)
+
+
+def test_spgemm_aat(make_random_csr):
+    a = make_random_csr(80, 60, 0.06)
+    c, res = spgemm_csr(a, aat=True)
+    ref = golden.spgemm_scipy(a, a.transpose())
+    assert golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-6)
+    assert "gflops" in res.stats
+
+
+def test_spgemm_fp64(make_random_csr):
+    a = make_random_csr(100, 100, 0.03, integer_vals=False)
+    c, _ = spgemm_csr(a, compute_dtype=jnp.float64)
+    ref = golden.spgemm_dense_row(a, a)
+    assert c.pattern_equal(ref)
+    np.testing.assert_allclose(c.data, ref.data, rtol=1e-12)
+
+
+def test_spgemm_chunked_path(make_random_csr):
+    # force the lax.scan chunked path with a tiny chunk
+    a = make_random_csr(120, 120, 0.05)
+    c, _ = spgemm_csr(a, chunk=64)
+    ref = golden.spgemm_dense_row(a, a)
+    assert c.pattern_equal(ref)
+    np.testing.assert_allclose(c.data, ref.data, rtol=1e-6)
+
+
+def test_spgemm_cancellation_keeps_structure():
+    a = CSR.from_dense(np.array([[1.0, -1.0], [0.0, 2.0]]))
+    b = CSR.from_dense(np.array([[1.0, 0.0], [1.0, 0.0]]))
+    at, bt = csr_to_tiles(a, 2, 2), csr_to_tiles(b, 2, 2)
+    res = spgemm(at, bt)
+    c = res.c.to_csr()
+    ref = golden.spgemm_dense_row(a, b)
+    assert c.pattern_equal(ref)  # C[0,0]=0 structural, C[1,0]=2
+    np.testing.assert_allclose(c.data, ref.data)
+
+
+def test_spgemm_empty_result():
+    # A's occupied columns never meet B's occupied rows
+    a = CSR.from_coo([0], [0], [1.0], (4, 4))
+    b = CSR.from_coo([3], [3], [1.0], (4, 4))
+    at, bt = csr_to_tiles(a, 2, 2), csr_to_tiles(b, 2, 2)
+    res = spgemm(at, bt)
+    assert res.c.nnz == 0 and res.c.nt == 0
+
+
+def test_spgemm_grid_false_positive_pruned():
+    # tiles intersect at grid level but not at element level
+    a = CSR.from_coo([0], [0], [1.0], (4, 4))   # tile (0,0), element (0,0)
+    b = CSR.from_coo([1], [1], [1.0], (4, 4))   # tile (0,0), element (1,1)
+    at, bt = csr_to_tiles(a, 2, 2), csr_to_tiles(b, 2, 2)
+    sched = build_pair_schedule(at, bt)
+    assert sched.nt_c == 1  # grid-level candidate
+    res = spgemm(at, bt)
+    assert res.c.nt == 0    # pruned after numeric/structural pass
+
+
+def test_spgemm_sequential_values_exact(make_random_csr):
+    # the reference driver's synthetic i%10 values: fp32 must be exact
+    a = make_random_csr(200, 200, 0.02).with_sequential_values()
+    c, _ = spgemm_csr(a)
+    ref = golden.spgemm_dense_row(a, a)
+    assert c.pattern_equal(ref)
+    np.testing.assert_array_equal(c.data, ref.data)
