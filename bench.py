@@ -1,0 +1,155 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: C = A^2 on a deterministic synthetic "cant-like" matrix
+(62,451^2, ~4M nnz, half-filled +-64 band -> nnzCub ~ 2.6e8, closely
+matching cant.mtx's 2.69e8 from BASELINE.md; SuiteSparse itself is not
+fetchable in this zero-egress environment).
+
+Metric: GFLOPS = 2*nnzCub / runtime, the reference's formula
+(`src/tilespgemm-cuda.h:2808`). runtime = per-run symbolic phase (host:
+pair expansion + C-tile dictionary) + numeric phase (device). The numeric
+phase is timed with an on-device repeat loop (iterations chained through
+a data dependency) because this environment's TPU tunnel adds ~28 ms of
+round-trip latency per host fetch — wall-clock around a single dispatch
+measures the tunnel, not the chip. Slab layout build and H2D upload are
+one-time format prep, reported separately (like the reference's
+conversion ms / time_malloc split).
+
+Baseline: 52.63 GFLOPS (best cant run, `data/results_tile.csv`).
+
+Env knobs: BENCH_ROWS, BENCH_BAND, BENCH_REPEATS, BENCH_TM/BENCH_TN,
+BENCH_LOOP (on-device iterations).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROWS = int(os.environ.get("BENCH_ROWS", 62451))
+BAND = int(os.environ.get("BENCH_BAND", 64))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
+LOOP = int(os.environ.get("BENCH_LOOP", 20))
+TM = int(os.environ.get("BENCH_TM", 16))
+TN = int(os.environ.get("BENCH_TN", 128))
+BASELINE_GFLOPS = 52.63
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "benchdata", f"cantlike_{ROWS}_{BAND}.npz")
+
+
+def make_cantlike(rows: int, band: int):
+    """Deterministic banded matrix: ~half the +-band entries kept via a
+    hash, ~(band+0.5) nnz/row."""
+    from spgemm_tpu.models.csr import CSR
+
+    if os.path.exists(CACHE):
+        z = np.load(CACHE)
+        return CSR(z["indptr"], z["indices"], z["data"], (rows, rows))
+    offs = np.arange(-band, band + 1, dtype=np.int64)
+    r = np.repeat(np.arange(rows, dtype=np.int64), offs.size)
+    c = r + np.tile(offs, rows)
+    keep = (c >= 0) & (c < rows) & (((r * 31 + c * 17) & 3) < 2)
+    keep |= (r == c)
+    r, c = r[keep], c[keep]
+    vals = ((r * 7 + c * 13) % 9 + 1).astype(np.float64)
+    csr = CSR.from_coo(r, c, vals, (rows, rows))
+    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
+    np.savez(CACHE, indptr=csr.indptr, indices=csr.indices, data=csr.data)
+    return csr
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from spgemm_tpu.models.csr import flop_count_spgemm
+    from spgemm_tpu.models.tile import csr_to_tiles
+    from spgemm_tpu.ops.gustavson import build_gustavson_plan, gustavson_numeric
+
+    a = make_cantlike(ROWS, BAND)
+    nnz_cub = flop_count_spgemm(a, a)
+    print(f"# matrix {ROWS}x{ROWS} nnz={a.nnz} nnzCub={nnz_cub} "
+          f"tiles={TM}x{TN} device={jax.devices()[0]}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    at = csr_to_tiles(a, TM, TN)
+    bt = at if TM == TN else csr_to_tiles(a, TN, TN)
+    convert_ms = (time.perf_counter() - t0) * 1e3
+    print(f"# convert_ms={convert_ms:.1f} ntA={at.nt} ntB={bt.nt}",
+          file=sys.stderr)
+
+    plan = build_gustavson_plan(at, bt)
+    print(f"# prep_ms={plan.prep_ms:.1f} symbolic_ms={plan.symbolic_ms:.2f} "
+          f"pairs={plan.num_pairs} ntC={plan.nt_c} "
+          f"padding={plan.padding_ratio():.2f}", file=sys.stderr)
+
+    # re-measure per-run symbolic cost (host), best of REPEATS
+    sym_best = plan.symbolic_ms
+    for _ in range(REPEATS):
+        p2 = build_gustavson_plan(at, bt)
+        sym_best = min(sym_best, p2.symbolic_ms)
+
+    arrs = jax.device_put(
+        (plan.a3_val, plan.a3_occ, plan.b3_val, plan.b3_occ,
+         jnp.asarray(plan.seg))
+    )
+    jax.block_until_ready(arrs)
+    a3v, a3o, b3v, b3o, seg = arrs
+
+    kwargs = dict(gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
+                  tm=plan.tm, tn=plan.tn, nt_c=plan.nt_c)
+
+    # warm-up + correctness scalar
+    cv, cc = gustavson_numeric(a3v, a3o, b3v, b3o, seg, **kwargs)
+    nnz_c = int(jnp.sum(cc > 0))
+
+    # tunnel RTT (per-fetch latency to subtract from loop wall time)
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+    float(trivial(seg))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(trivial(seg))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    rtt_ms = min(rtts)
+
+    @jax.jit
+    def loop(a3v, a3o, b3v, b3o, seg):
+        def body(i, acc):
+            cv, cc = gustavson_numeric(
+                a3v + acc * 1e-30, a3o, b3v, b3o, seg, **kwargs
+            )
+            return acc + jnp.sum(cv) + jnp.sum(cc)
+        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
+
+    float(loop(a3v, a3o, b3v, b3o, seg))  # compile
+    best_loop_ms = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        float(loop(a3v, a3o, b3v, b3o, seg))
+        best_loop_ms = min(best_loop_ms, (time.perf_counter() - t0) * 1e3)
+    numeric_ms = max(0.0, best_loop_ms - rtt_ms) / LOOP
+
+    runtime_ms = sym_best + numeric_ms
+    gflops = 2.0 * nnz_cub / (runtime_ms * 1e6)
+    print(f"# rtt_ms={rtt_ms:.1f} numeric_ms={numeric_ms:.2f} "
+          f"symbolic_ms={sym_best:.2f} runtime_ms={runtime_ms:.2f} "
+          f"nnzC={nnz_c} compression={nnz_cub/max(nnz_c,1):.2f}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "spgemm_cantlike_gflops",
+        "value": round(gflops, 2),
+        "unit": "GFLOPS",
+        "vs_baseline": round(gflops / BASELINE_GFLOPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

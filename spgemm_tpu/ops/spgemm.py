@@ -20,6 +20,7 @@ import numpy as np
 from spgemm_tpu.models.csr import CSR, INDEX_DTYPE, flop_count_spgemm
 from spgemm_tpu.models.tile import TileMat, cdiv, csr_to_tiles
 from spgemm_tpu.ops import numeric as num_ops
+from spgemm_tpu.ops.gustavson import build_gustavson_plan, gustavson_numeric
 from spgemm_tpu.ops.symbolic import PairSchedule, build_pair_schedule
 
 DEFAULT_CHUNK = 32768
@@ -28,7 +29,7 @@ DEFAULT_CHUNK = 32768
 @dataclasses.dataclass
 class SpGEMMResult:
     c: TileMat
-    schedule: PairSchedule
+    schedule: object  # PairSchedule or GustavsonPlan
     timings_ms: dict[str, float]
     stats: dict[str, float]
 
@@ -78,15 +79,19 @@ def spgemm(
     compute_dtype=jnp.float32,
     acc_dtype=None,
     chunk: int = DEFAULT_CHUNK,
-    backend: str = "xla",
+    backend: str = "gustavson",
     device=None,
     sync: bool = True,
 ) -> SpGEMMResult:
     """Sparse C = A @ B on the tiled format.
 
-    backend: "xla" — batched gather + einsum + scatter-add (portable, runs
-    on CPU for tests); "pallas" — fused per-C-tile kernel (TPU fast path,
-    see ops/pallas_kernels.py).
+    backend:
+      "gustavson" (default) — gather-free batched slab matmuls grouped by
+          the inner tile dimension + one fused scatter (ops/gustavson.py);
+          the measured TPU fast path.
+      "xla"    — pair-gather + batched einsum + scatter-add; no k-group
+          padding, better for extremely skewed tile distributions.
+      "pallas" — fused per-C-tile DMA kernel (experimental).
     """
     acc_dtype = acc_dtype or compute_dtype
     if jnp.dtype(compute_dtype) == jnp.float64 and not jax.config.jax_enable_x64:
@@ -95,6 +100,12 @@ def spgemm(
             "(jax.config.update('jax_enable_x64', True))"
         )
     timings: dict[str, float] = {}
+
+    if backend == "gustavson":
+        return _spgemm_gustavson(
+            a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
+            device=device, sync=sync,
+        )
 
     t0 = time.perf_counter()
     sched = build_pair_schedule(a, b)
@@ -157,6 +168,60 @@ def spgemm(
         "nnzC": float(c.nnz),
     }
     return SpGEMMResult(c=c, schedule=sched, timings_ms=timings, stats=stats)
+
+
+def _spgemm_gustavson(
+    a: TileMat,
+    b: TileMat,
+    *,
+    compute_dtype=jnp.float32,
+    acc_dtype=None,
+    device=None,
+    sync: bool = True,
+) -> SpGEMMResult:
+    acc_dtype = acc_dtype or compute_dtype
+    np_dtype = np.float64 if jnp.dtype(compute_dtype) == jnp.float64 else np.float32
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    plan = build_gustavson_plan(a, b, dtype=np_dtype)
+    timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    arrs = jax.device_put(
+        (plan.a3_val, plan.a3_occ, plan.b3_val, plan.b3_occ, plan.seg),
+        device,
+    )
+    jax.block_until_ready(arrs)
+    timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    c_val_d, c_cnt_d = gustavson_numeric(
+        *arrs,
+        gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
+        tm=plan.tm, tn=plan.tn, nt_c=plan.nt_c,
+        acc_dtype=acc_dtype,
+    )
+    if sync:
+        jax.block_until_ready((c_val_d, c_cnt_d))
+    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    c = _compact_to_tilemat(
+        plan.ctrow, plan.ctcol,
+        np.asarray(c_val_d, dtype=np.float64), np.asarray(c_cnt_d),
+        (a.m, b.n), a.tm, b.tn,
+    )
+    timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+
+    stats = {
+        "num_pairs": float(plan.num_pairs),
+        "numblkC_candidate": float(plan.nt_c),
+        "numblkC": float(c.nt),
+        "nnzC": float(c.nnz),
+        "padding_ratio": plan.padding_ratio(),
+    }
+    return SpGEMMResult(c=c, schedule=plan, timings_ms=timings, stats=stats)
 
 
 def spgemm_csr(

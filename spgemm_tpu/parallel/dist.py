@@ -1,0 +1,210 @@
+"""Multi-chip SpGEMM over a jax.sharding.Mesh.
+
+The reference is single-GPU (SURVEY.md 2.7); this module is the
+framework's distributed extension per the north-star spec
+(BASELINE.json): **A tile-rows partitioned across devices, B tiles
+all-gathered over ICI, C tiles owner-computed** — SPMD via
+jax.shard_map, with XLA inserting the collectives.
+
+Partitioning: C tile-row i is owned by the device owning A tile-row i,
+so every pair (A(i,k), B(k,j)) lands on the owner of its output tile —
+no cross-device reduction is needed (contrast with an A-column split
+which would psum). Devices exchange only B tiles (one all-gather), which
+rides ICI and overlaps with the first pair chunks under XLA's scheduler.
+
+Host-side planning (plan_row_partition) balances devices by *pair count*
+(compute load), not tile count, then pads every per-device array to the
+max so shapes are identical across shards — the SPMD analogue of the
+reference's size-binned kernel dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from spgemm_tpu.models.csr import INDEX_DTYPE
+from spgemm_tpu.models.tile import TileMat, cdiv
+from spgemm_tpu.ops.symbolic import PairSchedule, build_pair_schedule
+
+
+@dataclasses.dataclass
+class DistPlan:
+    """Host-side SPMD execution plan for one (A, B, mesh-size) triple."""
+
+    ndev: int
+    # per-device padded arrays, all stacked on axis 0 (the mesh axis)
+    a_val: np.ndarray    # (D, ntA_max, tm, tk)
+    a_occ: np.ndarray
+    b_val: np.ndarray    # (D, ntB_max, tk, tn)  (sharded; all-gathered on device)
+    b_occ: np.ndarray
+    pa: np.ndarray       # (D, P_max) local A tile index
+    pb: np.ndarray       # (D, P_max) index into the all-gathered padded B
+    seg: np.ndarray      # (D, P_max) local C segment, padding -> S_max
+    s_max: int           # local segments per device (excl. dummy)
+    # bookkeeping to reassemble C on host
+    seg_counts: np.ndarray   # (D,) real segments per device
+    ctrow: np.ndarray        # (ntC,) global candidate C tile coords
+    ctcol: np.ndarray
+    schedule: PairSchedule
+
+
+def plan_row_partition(
+    a: TileMat, b: TileMat, ndev: int, dtype=np.float32
+) -> DistPlan:
+    """Partition A tile-rows (and C tile-rows with them) over `ndev`
+    devices, balancing total pair count per device."""
+    sched = build_pair_schedule(a, b)
+
+    # pairs per C tile-row -> contiguous row ranges with ~equal pairs
+    pairs_per_seg = np.diff(sched.pair_ptr).astype(np.int64)
+    seg_row = sched.ctrow  # sorted ascending
+    pairs_per_row = np.zeros(a.gm, dtype=np.int64)
+    np.add.at(pairs_per_row, seg_row, pairs_per_seg)
+    cum = np.cumsum(pairs_per_row)
+    total = int(cum[-1]) if cum.size else 0
+    # row range for device d: rows with cum in (d*total/D, (d+1)*total/D]
+    bounds = np.searchsorted(cum, np.arange(1, ndev) * (total / ndev))
+    row_start = np.concatenate([[0], bounds + 1]) if ndev > 1 else np.array([0])
+    row_end = np.concatenate([bounds + 1, [a.gm]]) if ndev > 1 else np.array([a.gm])
+
+    # A tiles are sorted by tile-row: device ranges are contiguous slices
+    a_lo = a.tptr[row_start].astype(np.int64)
+    a_hi = a.tptr[row_end].astype(np.int64)
+    ntA_max = max(1, int((a_hi - a_lo).max()) if a.nt else 1)
+
+    # B tiles: even contiguous shard; devices all-gather at run time
+    ntB_shard = max(1, cdiv(max(b.nt, 1), ndev))
+    ntB_pad = ntB_shard * ndev
+
+    ad, ao = a.dense(dtype), a.occ().astype(np.float32)
+    bd, bo = b.dense(dtype), b.occ().astype(np.float32)
+
+    a_val = np.zeros((ndev, ntA_max) + ad.shape[1:], dtype=dtype)
+    a_occ = np.zeros((ndev, ntA_max) + ao.shape[1:], dtype=np.float32)
+    for d in range(ndev):
+        n = a_hi[d] - a_lo[d]
+        a_val[d, :n] = ad[a_lo[d] : a_hi[d]]
+        a_occ[d, :n] = ao[a_lo[d] : a_hi[d]]
+
+    b_val = np.zeros((ndev, ntB_shard) + bd.shape[1:], dtype=dtype)
+    b_occ = np.zeros((ndev, ntB_shard) + bo.shape[1:], dtype=np.float32)
+    flatb = np.zeros((ntB_pad,) + bd.shape[1:], dtype=dtype)
+    flato = np.zeros((ntB_pad,) + bo.shape[1:], dtype=np.float32)
+    flatb[: b.nt] = bd
+    flato[: b.nt] = bo
+    for d in range(ndev):
+        b_val[d] = flatb[d * ntB_shard : (d + 1) * ntB_shard]
+        b_occ[d] = flato[d * ntB_shard : (d + 1) * ntB_shard]
+
+    # segments (C tiles) per device: contiguous because ctrow is sorted
+    seg_dev = np.searchsorted(row_start[1:], seg_row, side="right") \
+        if ndev > 1 else np.zeros(sched.nt_c, dtype=np.int64)
+    seg_counts = np.bincount(seg_dev, minlength=ndev)
+    seg_off = np.concatenate([[0], np.cumsum(seg_counts)[:-1]])
+    s_max = max(1, int(seg_counts.max()) if sched.nt_c else 1)
+
+    pair_dev = seg_dev[sched.seg] if sched.num_pairs else np.zeros(0, np.int64)
+    p_counts = np.bincount(pair_dev, minlength=ndev)
+    p_max = max(1, int(p_counts.max()) if sched.num_pairs else 1)
+
+    pa = np.zeros((ndev, p_max), dtype=np.int32)
+    pb = np.zeros((ndev, p_max), dtype=np.int32)
+    seg = np.full((ndev, p_max), s_max, dtype=np.int32)  # padding -> dummy
+    for d in range(ndev):
+        sel = pair_dev == d
+        n = int(sel.sum())
+        pa[d, :n] = sched.pa[sel] - a_lo[d]
+        pb[d, :n] = sched.pb[sel]           # global == all-gathered index
+        seg[d, :n] = sched.seg[sel] - seg_off[d]
+
+    return DistPlan(
+        ndev=ndev,
+        a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ,
+        pa=pa, pb=pb, seg=seg, s_max=s_max,
+        seg_counts=seg_counts, ctrow=sched.ctrow, ctcol=sched.ctcol,
+        schedule=sched,
+    )
+
+
+def _device_fn(a_val, a_occ, b_val, b_occ, pa, pb, seg, *, s_max, acc_dtype):
+    """Per-shard body: all-gather B over ICI, then local pair products."""
+    b_val_g = jax.lax.all_gather(b_val[0], "x", axis=0, tiled=True)
+    b_occ_g = jax.lax.all_gather(b_occ[0], "x", axis=0, tiled=True)
+
+    prod = jax.lax.dot_general(
+        a_val[0][pa[0]], b_val_g[pb[0]],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=acc_dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cnt = jax.lax.dot_general(
+        a_occ[0][pa[0]], b_occ_g[pb[0]],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    tm, tn = prod.shape[1], prod.shape[2]
+    c_val = jnp.zeros((s_max + 1, tm, tn), acc_dtype)
+    c_cnt = jnp.zeros((s_max + 1, tm, tn), jnp.float32)
+    c_val = c_val.at[seg[0]].add(prod)
+    c_cnt = c_cnt.at[seg[0]].add(cnt)
+    return c_val[None, :-1], c_cnt[None, :-1]
+
+
+def spgemm_sharded(
+    a: TileMat,
+    b: TileMat,
+    mesh: Mesh,
+    *,
+    acc_dtype=jnp.float32,
+) -> TileMat:
+    """Distributed C = A @ B over all devices of `mesh` (one axis "x")."""
+    ndev = mesh.devices.size
+    plan = plan_row_partition(a, b, ndev)
+
+    fn = jax.jit(
+        jax.shard_map(
+            functools.partial(
+                _device_fn, s_max=plan.s_max, acc_dtype=acc_dtype
+            ),
+            mesh=mesh,
+            in_specs=(P("x"),) * 7,
+            out_specs=(P("x"), P("x")),
+            check_vma=False,
+        )
+    )
+    c_val_d, c_cnt_d = fn(
+        jnp.asarray(plan.a_val), jnp.asarray(plan.a_occ),
+        jnp.asarray(plan.b_val), jnp.asarray(plan.b_occ),
+        jnp.asarray(plan.pa), jnp.asarray(plan.pb), jnp.asarray(plan.seg),
+    )
+    # reassemble: device d's first seg_counts[d] segments are real
+    c_val = np.asarray(c_val_d, dtype=np.float64).reshape(
+        ndev, plan.s_max, a.tm, b.tn
+    )
+    c_cnt = np.asarray(c_cnt_d).reshape(ndev, plan.s_max, a.tm, b.tn)
+    keep_val = np.concatenate(
+        [c_val[d, : plan.seg_counts[d]] for d in range(ndev)]
+    ) if plan.ctrow.size else np.zeros((0, a.tm, b.tn))
+    keep_cnt = np.concatenate(
+        [c_cnt[d, : plan.seg_counts[d]] for d in range(ndev)]
+    ) if plan.ctrow.size else np.zeros((0, a.tm, b.tn))
+
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    return _compact_to_tilemat(
+        plan.ctrow, plan.ctcol, keep_val, keep_cnt,
+        (a.m, b.n), a.tm, b.tn,
+    )
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]).reshape(n), ("x",))
