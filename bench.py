@@ -68,7 +68,11 @@ def main():
 
     from spgemm_tpu.models.csr import flop_count_spgemm
     from spgemm_tpu.models.tile import csr_to_tiles
-    from spgemm_tpu.ops.gustavson import build_gustavson_plan, gustavson_numeric
+    from spgemm_tpu.ops.gustavson import (
+        build_gustavson_plan,
+        build_strip_args,
+    )
+    from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
 
     a = make_cantlike(ROWS, BAND)
     nnz_cub = flop_count_spgemm(a, a)
@@ -93,46 +97,45 @@ def main():
         p2 = build_gustavson_plan(at, bt)
         sym_best = min(sym_best, p2.symbolic_ms)
 
-    arrs = jax.device_put(
-        (plan.a3_val, plan.a3_occ, plan.b3_val, plan.b3_occ,
-         jnp.asarray(plan.seg))
+    sargs = build_strip_args(at, bt, plan)
+    dev = jax.device_put(
+        (sargs.a_packed, sargs.b_packed, sargs.aptr, sargs.ak,
+         sargs.cnt_b, sargs.jpos, sargs.c_tptr, sargs.c_cols)
     )
-    jax.block_until_ready(arrs)
-    a3v, a3o, b3v, b3o, seg = arrs
+    jax.block_until_ready(dev)
 
-    kwargs = dict(gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
-                  tm=plan.tm, tn=plan.tn, nt_c=plan.nt_c)
+    kwargs = dict(gm=sargs.gm, gn_c=sargs.gn_c, nt_c=plan.nt_c,
+                  max_b=plan.max_b, max_ablock=sargs.max_ablock,
+                  max_crow=sargs.max_crow, block_rows=sargs.block_rows)
 
-    # warm-up + correctness scalar
-    cv, cc = gustavson_numeric(a3v, a3o, b3v, b3o, seg, **kwargs)
-    nnz_c = int(jnp.sum(cc > 0))
+    # warm-up + correctness scalar (strip Pallas kernel, the fast path)
+    packed = gustavson_strip_pallas(*dev, **kwargs)
+    nnz_c = int(jnp.sum(packed[: plan.nt_c, 1] > 0))
 
     # tunnel RTT (per-fetch latency to subtract from loop wall time)
     @jax.jit
     def trivial(x):
         return jnp.sum(x)
-    float(trivial(seg))
+    float(trivial(dev[2]))
     rtts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(trivial(seg))
+        float(trivial(dev[2]))
         rtts.append((time.perf_counter() - t0) * 1e3)
     rtt_ms = min(rtts)
 
     @jax.jit
-    def loop(a3v, a3o, b3v, b3o, seg):
+    def loop(ap, bp, *rest):
         def body(i, acc):
-            cv, cc = gustavson_numeric(
-                a3v + acc * 1e-30, a3o, b3v, b3o, seg, **kwargs
-            )
-            return acc + jnp.sum(cv) + jnp.sum(cc)
+            out = gustavson_strip_pallas(ap + acc * 1e-30, bp, *rest, **kwargs)
+            return acc + jnp.sum(out)
         return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
 
-    float(loop(a3v, a3o, b3v, b3o, seg))  # compile
+    float(loop(*dev))  # compile
     best_loop_ms = float("inf")
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        float(loop(a3v, a3o, b3v, b3o, seg))
+        float(loop(*dev))
         best_loop_ms = min(best_loop_ms, (time.perf_counter() - t0) * 1e3)
     numeric_ms = max(0.0, best_loop_ms - rtt_ms) / LOOP
 

@@ -210,3 +210,101 @@ def gustavson_numeric(
     c = jnp.zeros((2 * stride, tm, tn), dtype=acc_dtype)
     c = c.at[seg2].add(jnp.concatenate([pv, po]))
     return c[:nt_c], c[stride : stride + nt_c]
+
+
+# --- strip-kernel driver (scatter-free Pallas path) ----------------------
+
+
+@dataclasses.dataclass
+class StripArgs:
+    """Device operands for the Pallas strip kernel
+    (ops/pallas_kernels.py:gustavson_strip_pallas)."""
+
+    a_packed: np.ndarray   # (ntA+max_ablock, 2, tm, tk)
+    b_packed: np.ndarray   # (gk, 2, tk, max_b*tn)
+    aptr: np.ndarray
+    ak: np.ndarray
+    cnt_b: np.ndarray
+    jpos: np.ndarray
+    c_tptr: np.ndarray
+    c_cols: np.ndarray
+    gm: int
+    gn_c: int
+    max_ablock: int        # max A tiles in any block of block_rows rows
+    max_crow: int          # max C tiles in any row
+    block_rows: int
+
+
+def build_strip_args(
+    a: TileMat, b: TileMat, plan: GustavsonPlan, block_rows: int = 32
+) -> StripArgs:
+    tm, tk = a.tm, a.tn
+    aptr64 = a.tptr.astype(np.int64)
+    block_starts = np.arange(0, a.gm + 1, block_rows)
+    if block_starts[-1] != a.gm:
+        block_starts = np.append(block_starts, a.gm)
+    per_block = np.diff(aptr64[np.minimum(block_starts, a.gm)])
+    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+
+    a_packed = np.zeros((a.nt + max_ablock, 2, tm, tk), dtype=plan.a3_val.dtype)
+    a_packed[: a.nt, 0] = a.dense(plan.a3_val.dtype)
+    a_packed[: a.nt, 1] = a.occ().astype(plan.a3_val.dtype)
+    ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
+    ak[: a.nt] = a.tcol
+
+    b_packed = np.stack([plan.b3_val, plan.b3_occ], axis=1)
+
+    cnt_b = np.diff(b.tptr).astype(INDEX_DTYPE)
+    jpos = np.zeros(plan.gk * plan.max_b, dtype=INDEX_DTYPE)
+    cb = cnt_b.astype(np.int64)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(
+        b.tptr[:-1].astype(np.int64), cb
+    )
+    kb = np.repeat(np.arange(plan.gk, dtype=np.int64), cb)
+    jpos[kb * plan.max_b + rank_b] = b.tcol
+
+    c_tptr = np.zeros(a.gm + 1, dtype=INDEX_DTYPE)
+    crow_counts = np.bincount(plan.ctrow, minlength=a.gm)
+    np.cumsum(crow_counts, out=c_tptr[1:])
+    max_crow = max(1, int(crow_counts.max()) if plan.nt_c else 1)
+
+    return StripArgs(
+        a_packed=a_packed, b_packed=b_packed,
+        aptr=a.tptr.astype(INDEX_DTYPE), ak=ak,
+        cnt_b=cnt_b, jpos=jpos,
+        c_tptr=c_tptr, c_cols=plan.ctcol.astype(INDEX_DTYPE),
+        gm=a.gm, gn_c=b.gn, max_ablock=max_ablock, max_crow=max_crow,
+        block_rows=block_rows,
+    )
+
+
+def strip_numeric(
+    args: StripArgs,
+    plan: GustavsonPlan,
+    *,
+    acc_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Run the Pallas strip kernel; returns (c_val, c_cnt)."""
+    from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    # VMEM strip must fit: gn_c * 2 * tm * tn * 4 bytes
+    strip_bytes = args.gn_c * 2 * plan.tm * plan.tn * 4
+    if strip_bytes > 12 * 1024 * 1024:
+        raise ValueError(
+            f"C strip ({strip_bytes/1e6:.0f} MB) exceeds VMEM budget; "
+            "use the gustavson/xla backend or larger tn"
+        )
+    packed = gustavson_strip_pallas(
+        jnp.asarray(args.a_packed), jnp.asarray(args.b_packed),
+        jnp.asarray(args.aptr), jnp.asarray(args.ak),
+        jnp.asarray(args.cnt_b), jnp.asarray(args.jpos),
+        jnp.asarray(args.c_tptr), jnp.asarray(args.c_cols),
+        gm=args.gm, gn_c=args.gn_c, nt_c=plan.nt_c,
+        max_b=plan.max_b, max_ablock=args.max_ablock,
+        max_crow=args.max_crow, block_rows=args.block_rows,
+        acc_dtype=acc_dtype, interpret=interpret,
+    )
+    return packed[: plan.nt_c, 0], packed[: plan.nt_c, 1]

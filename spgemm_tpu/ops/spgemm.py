@@ -20,7 +20,12 @@ import numpy as np
 from spgemm_tpu.models.csr import CSR, INDEX_DTYPE, flop_count_spgemm
 from spgemm_tpu.models.tile import TileMat, cdiv, csr_to_tiles
 from spgemm_tpu.ops import numeric as num_ops
-from spgemm_tpu.ops.gustavson import build_gustavson_plan, gustavson_numeric
+from spgemm_tpu.ops.gustavson import (
+    build_gustavson_plan,
+    build_strip_args,
+    gustavson_numeric,
+    strip_numeric,
+)
 from spgemm_tpu.ops.symbolic import PairSchedule, build_pair_schedule
 
 DEFAULT_CHUNK = 32768
@@ -101,10 +106,10 @@ def spgemm(
         )
     timings: dict[str, float] = {}
 
-    if backend == "gustavson":
+    if backend in ("gustavson", "strip"):
         return _spgemm_gustavson(
             a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
-            device=device, sync=sync,
+            device=device, sync=sync, strip=(backend == "strip"),
         )
 
     t0 = time.perf_counter()
@@ -178,6 +183,7 @@ def _spgemm_gustavson(
     acc_dtype=None,
     device=None,
     sync: bool = True,
+    strip: bool = False,
 ) -> SpGEMMResult:
     acc_dtype = acc_dtype or compute_dtype
     np_dtype = np.float64 if jnp.dtype(compute_dtype) == jnp.float64 else np.float32
@@ -187,24 +193,35 @@ def _spgemm_gustavson(
     plan = build_gustavson_plan(a, b, dtype=np_dtype)
     timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
 
-    t0 = time.perf_counter()
-    arrs = jax.device_put(
-        (plan.a3_val, plan.a3_occ, plan.b3_val, plan.b3_occ, plan.seg),
-        device,
-    )
-    jax.block_until_ready(arrs)
-    timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+    if strip:
+        t0 = time.perf_counter()
+        sargs = build_strip_args(a, b, plan)
+        timings["symbolic_ms"] += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        c_val_d, c_cnt_d = strip_numeric(sargs, plan, acc_dtype=acc_dtype)
+        if sync:
+            jax.block_until_ready((c_val_d, c_cnt_d))
+        timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+        timings["upload_ms"] = 0.0
+    else:
+        t0 = time.perf_counter()
+        arrs = jax.device_put(
+            (plan.a3_val, plan.a3_occ, plan.b3_val, plan.b3_occ, plan.seg),
+            device,
+        )
+        jax.block_until_ready(arrs)
+        timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
 
-    t0 = time.perf_counter()
-    c_val_d, c_cnt_d = gustavson_numeric(
-        *arrs,
-        gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
-        tm=plan.tm, tn=plan.tn, nt_c=plan.nt_c,
-        acc_dtype=acc_dtype,
-    )
-    if sync:
-        jax.block_until_ready((c_val_d, c_cnt_d))
-    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        c_val_d, c_cnt_d = gustavson_numeric(
+            *arrs,
+            gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
+            tm=plan.tm, tn=plan.tn, nt_c=plan.nt_c,
+            acc_dtype=acc_dtype,
+        )
+        if sync:
+            jax.block_until_ready((c_val_d, c_cnt_d))
+        timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
 
     t0 = time.perf_counter()
     c = _compact_to_tilemat(
