@@ -1,0 +1,209 @@
+// Native CSR <-> tile converters: the framework's host-side format hot
+// path, the functional equivalent of the reference's OpenMP converters
+// (`src/csr2tile.h:205-506`, `src/tile2csr.h:8-140`) re-written as two
+// fused passes with per-thread tile-column maps.
+//
+// Exposed via a C ABI consumed through ctypes (spgemm_tpu/utils/native.py).
+// Layout contract matches spgemm_tpu.models.tile.TileMat:
+//   tiles sorted by (tile_row, tile_col); intra-tile nonzeros row-major;
+//   rc = ri*tn + ci (int32); masks uint32 LSB-first, ceil(tn/32) words
+//   per intra-tile row; rowptr (nt, tm+1) int32.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC csr2tile.cpp -o libspgemmtile.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Phase A: count non-empty tiles per tile-row. Writes tptr (gm+1,
+// exclusive scan) and returns total tile count.
+int64_t csr2tile_count(
+    const int32_t* indptr, const int32_t* indices,
+    int64_t m, int64_t n, int64_t tm, int64_t tn,
+    int32_t* tptr /* gm+1 */) {
+  const int64_t gm = (m + tm - 1) / tm;
+  const int64_t gn = (n + tn - 1) / tn;
+
+#pragma omp parallel
+  {
+    std::vector<int32_t> stamp(gn, -1);
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t bi = 0; bi < gm; ++bi) {
+      int32_t cnt = 0;
+      const int64_t r0 = bi * tm;
+      const int64_t r1 = r0 + tm < m ? r0 + tm : m;
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t tc = indices[p] / tn;
+          if (stamp[tc] != (int32_t)bi) {
+            stamp[tc] = (int32_t)bi;
+            ++cnt;
+          }
+        }
+      }
+      tptr[bi + 1] = cnt;
+    }
+  }
+  tptr[0] = 0;
+  for (int64_t i = 0; i < gm; ++i) tptr[i + 1] += tptr[i];
+  return tptr[gm];
+}
+
+// Phase B: fill all tile arrays. Caller allocates based on phase A's nt.
+void csr2tile_fill(
+    const int32_t* indptr, const int32_t* indices, const double* data,
+    int64_t m, int64_t n, int64_t tm, int64_t tn,
+    const int32_t* tptr,
+    int32_t* trow, int32_t* tcol,          // (nt,)
+    int32_t* tnnz_ptr,                     // (nt+1,) exclusive scan
+    int32_t* rowptr,                       // (nt, tm+1)
+    uint32_t* mask,                        // (nt, tm, mw)
+    int32_t* rc,                           // (nnz,)
+    double* val) {                         // (nnz,)
+  const int64_t gm = (m + tm - 1) / tm;
+  const int64_t gn = (n + tn - 1) / tn;
+  const int64_t mw = (tn + 31) / 32;
+  const int64_t nt = tptr[gm];
+
+  // pass 1: per tile-row, assign tile ordinals (sorted by tcol) and count
+  // per-tile-per-row nonzeros into rowptr slots.
+#pragma omp parallel
+  {
+    std::vector<int32_t> ord(gn, -1);     // tile col -> local ordinal
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t bi = 0; bi < gm; ++bi) {
+      const int32_t base = tptr[bi];
+      const int32_t ntiles = tptr[bi + 1] - base;
+      const int64_t r0 = bi * tm;
+      const int64_t r1 = r0 + tm < m ? r0 + tm : m;
+      // collect distinct tile cols in first-seen order, then sort
+      int32_t seen = 0;
+      for (int64_t r = r0; r < r1; ++r)
+        for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t tc = indices[p] / tn;
+          if (ord[tc] < 0) {
+            ord[tc] = 1;  // mark
+            tcol[base + seen] = (int32_t)tc;
+            ++seen;
+          }
+        }
+      // sort the (small) tile-col list: insertion sort
+      for (int32_t i = 1; i < ntiles; ++i) {
+        int32_t key = tcol[base + i];
+        int32_t j = i - 1;
+        while (j >= 0 && tcol[base + j] > key) {
+          tcol[base + j + 1] = tcol[base + j];
+          --j;
+        }
+        tcol[base + j + 1] = key;
+      }
+      for (int32_t i = 0; i < ntiles; ++i) {
+        trow[base + i] = (int32_t)bi;
+        ord[tcol[base + i]] = base + i;   // global tile ordinal
+      }
+      // count nnz per (tile, intra-row)
+      for (int64_t r = r0; r < r1; ++r) {
+        const int64_t ri = r - r0;
+        for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t c = indices[p];
+          const int32_t t = ord[c / tn];
+          ++rowptr[(int64_t)t * (tm + 1) + ri + 1];
+          mask[((int64_t)t * tm + ri) * mw + (c % tn) / 32] |=
+              (uint32_t)1 << ((c % tn) % 32);
+        }
+      }
+      // reset ord for reuse
+      for (int32_t i = 0; i < ntiles; ++i) ord[tcol[base + i]] = -1;
+    }
+  }
+
+  // scan rowptr per tile and build tnnz_ptr
+  tnnz_ptr[0] = 0;
+  for (int64_t t = 0; t < nt; ++t) {
+    int32_t* rp = rowptr + t * (tm + 1);
+    for (int64_t i = 0; i < tm; ++i) rp[i + 1] += rp[i];
+    tnnz_ptr[t + 1] = tnnz_ptr[t] + rp[tm];
+  }
+
+  // pass 2: scatter values/rc using per-(tile,row) cursors
+#pragma omp parallel
+  {
+    std::vector<int32_t> ord(gn, -1);
+    std::vector<int32_t> cursor;          // per local tile-row block
+#pragma omp for schedule(dynamic, 8)
+    for (int64_t bi = 0; bi < gm; ++bi) {
+      const int32_t base = tptr[bi];
+      const int32_t ntiles = tptr[bi + 1] - base;
+      for (int32_t i = 0; i < ntiles; ++i) ord[tcol[base + i]] = base + i;
+      const int64_t r0 = bi * tm;
+      const int64_t r1 = r0 + tm < m ? r0 + tm : m;
+      for (int64_t r = r0; r < r1; ++r) {
+        const int64_t ri = r - r0;
+        // per-row cursor within each tile: nonzeros arrive in ascending
+        // column order inside a row, so a running cursor per tile row
+        // preserves row-major intra-tile order.
+        for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t c = indices[p];
+          const int32_t t = ord[c / tn];
+          int32_t* rp = rowptr + (int64_t)t * (tm + 1);
+          const int64_t pos = tnnz_ptr[t] + rp[ri]++;
+          rc[pos] = (int32_t)(ri * tn + c % tn);
+          val[pos] = data[p];
+        }
+      }
+      for (int32_t i = 0; i < ntiles; ++i) ord[tcol[base + i]] = -1;
+    }
+  }
+
+  // rowptr was advanced by the cursors; shift back (rp[i] now equals the
+  // old rp[i+1], so rebuild by right-shifting with leading zero)
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < nt; ++t) {
+    int32_t* rp = rowptr + t * (tm + 1);
+    for (int64_t i = tm; i > 0; --i) rp[i] = rp[i - 1];
+    rp[0] = 0;
+  }
+}
+
+// tile -> CSR: rebuild plain CSR (rows sorted, cols sorted within rows).
+void tile2csr(
+    const int32_t* trow, const int32_t* tcol, const int32_t* tnnz_ptr,
+    const int32_t* rowptr, const int32_t* rc, const double* val,
+    int64_t nt, int64_t m, int64_t tm, int64_t tn,
+    int32_t* indptr /* m+1, zeroed */, int32_t* indices, double* data) {
+  // count per global row
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t r0 = (int64_t)trow[t] * tm;
+    const int32_t* rp = rowptr + t * (tm + 1);
+    for (int64_t i = 0; i < tm; ++i) {
+      const int64_t gr = r0 + i;
+      if (gr < m) indptr[gr + 1] += rp[i + 1] - rp[i];
+    }
+  }
+  for (int64_t i = 0; i < m; ++i) indptr[i + 1] += indptr[i];
+  std::vector<int32_t> cur(indptr, indptr + m);
+  // tiles are sorted (trow, tcol) and intra-tile rows are col-sorted, so
+  // appending in tile order keeps columns sorted per row.
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t r0 = (int64_t)trow[t] * tm;
+    const int64_t c0 = (int64_t)tcol[t] * tn;
+    const int32_t* rp = rowptr + t * (tm + 1);
+    for (int64_t i = 0; i < tm; ++i) {
+      const int64_t gr = r0 + i;
+      for (int32_t p = rp[i]; p < rp[i + 1]; ++p) {
+        const int64_t q = tnnz_ptr[t] + p;
+        indices[cur[gr]] = (int32_t)(c0 + rc[q] % tn);
+        data[cur[gr]] = val[q];
+        ++cur[gr];
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -302,15 +302,28 @@ def _build_tilemat(
     )
 
 
-def csr_to_tiles(csr: CSR, tm: int = 16, tn: int = 16) -> TileMat:
+def csr_to_tiles(csr: CSR, tm: int = 16, tn: int = 16,
+                 use_native: bool = True) -> TileMat:
     """CSR -> tiled format (the reference's `csr2tile_row_major`,
-    `src/csr2tile.h:205-277`, as one vectorized pass).
+    `src/csr2tile.h:205-277`).
 
-    A stable argsort by tile key preserves the CSR's (row, col) order
-    inside each tile, so intra-tile nonzeros come out row-major for free.
+    Uses the native C++ converter when available (utils/native.py; the
+    analogue of the reference's OpenMP hot loop), falling back to one
+    vectorized NumPy pass: a stable argsort by tile key preserves the
+    CSR's (row, col) order inside each tile, so intra-tile nonzeros come
+    out row-major for free.
     """
     if tm < 1 or tn < 1:
         raise ValueError("tile dims must be >= 1")
+    if use_native:
+        from spgemm_tpu.utils.native import csr_to_tiles_native
+
+        orig_dtype = csr.data.dtype
+        t = csr_to_tiles_native(csr, tm, tn)
+        if t is not None:
+            if orig_dtype != np.float64:
+                t = dataclasses.replace(t, val=t.val.astype(orig_dtype))
+            return t
     m, n = csr.shape
     gm, gn = cdiv(m, tm), cdiv(n, tn)
     rows = csr.rows_expanded()
@@ -330,13 +343,24 @@ def csr_to_tiles(csr: CSR, tm: int = 16, tn: int = 16) -> TileMat:
     )
 
 
-def tiles_to_csr(t: TileMat) -> CSR:
+def tiles_to_csr(t: TileMat, use_native: bool = True) -> CSR:
     """Tiled format -> CSR (the reference's `tile2csr`,
     `src/tile2csr.h:8-140`).
 
-    A stable argsort by global row keeps tiles of one tile-row in
-    ascending tile-column order, so column indices come out sorted.
+    Native C++ when available; NumPy fallback: a stable argsort by global
+    row keeps tiles of one tile-row in ascending tile-column order, so
+    column indices come out sorted.
     """
+    if use_native:
+        from spgemm_tpu.utils.native import tiles_to_csr_native
+
+        orig_dtype = t.val.dtype
+        c = tiles_to_csr_native(t)
+        if c is not None:
+            if orig_dtype != np.float64:
+                c = CSR(c.indptr, c.indices, c.data.astype(orig_dtype),
+                        c.shape)
+            return c
     tid = t.tile_ids_expanded()
     grow = t.trow[tid].astype(np.int64) * t.tm + t.rc // t.tn
     gcol = t.tcol[tid].astype(np.int64) * t.tn + t.rc % t.tn

@@ -1,0 +1,149 @@
+"""Native (C++) host-format fast path, loaded via ctypes.
+
+The reference's host format layer is C with OpenMP (`src/csr2tile.h`,
+`src/tile2csr.h`); this module provides the same role for this framework:
+`native/csr2tile.cpp` compiled on first use with g++ into a cached shared
+library. The NumPy implementations in models/tile.py remain the reference
+semantics and the fallback (set SPGEMM_TPU_NATIVE=0 to force them).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "csr2tile.cpp")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_BUILD_DIR, "libspgemmtile.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+I32 = ctypes.POINTER(ctypes.c_int32)
+U32 = ctypes.POINTER(ctypes.c_uint32)
+F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctype)
+
+
+def _build() -> str | None:
+    if not os.path.exists(_SRC):
+        return None
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        print(f"spgemm_tpu: native build failed ({e}); using NumPy converters",
+              file=sys.stderr)
+        return None
+    return _LIB
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if os.environ.get("SPGEMM_TPU_NATIVE", "1") == "0":
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError as e:
+            print(f"spgemm_tpu: native load failed ({e})", file=sys.stderr)
+            return None
+        lib.csr2tile_count.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def csr_to_tiles_native(csr, tm: int, tn: int):
+    """Native csr2tile; returns a TileMat or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+    from spgemm_tpu.models.tile import MASK_DTYPE, TileMat, cdiv
+
+    m, n = csr.shape
+    gm = cdiv(m, tm)
+    mw = cdiv(tn, 32)
+    indptr = np.ascontiguousarray(csr.indptr, dtype=np.int32)
+    indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
+    data = np.ascontiguousarray(csr.data, dtype=np.float64)
+
+    tptr = np.zeros(gm + 1, dtype=np.int32)
+    nt = int(lib.csr2tile_count(
+        _ptr(indptr, I32), _ptr(indices, I32),
+        ctypes.c_int64(m), ctypes.c_int64(n),
+        ctypes.c_int64(tm), ctypes.c_int64(tn),
+        _ptr(tptr, I32),
+    ))
+
+    trow = np.zeros(nt, dtype=np.int32)
+    tcol = np.zeros(nt, dtype=np.int32)
+    tnnz_ptr = np.zeros(nt + 1, dtype=np.int32)
+    rowptr = np.zeros((nt, tm + 1), dtype=np.int32)
+    mask = np.zeros((nt, tm, mw), dtype=MASK_DTYPE)
+    rc = np.zeros(csr.nnz, dtype=np.int32)
+    val = np.zeros(csr.nnz, dtype=np.float64)
+    lib.csr2tile_fill(
+        _ptr(indptr, I32), _ptr(indices, I32), _ptr(data, F64),
+        ctypes.c_int64(m), ctypes.c_int64(n),
+        ctypes.c_int64(tm), ctypes.c_int64(tn),
+        _ptr(tptr, I32),
+        _ptr(trow, I32), _ptr(tcol, I32), _ptr(tnnz_ptr, I32),
+        _ptr(rowptr, I32), _ptr(mask, U32), _ptr(rc, I32), _ptr(val, F64),
+    )
+    return TileMat(
+        shape=(m, n), tm=tm, tn=tn,
+        trow=trow.astype(INDEX_DTYPE, copy=False),
+        tcol=tcol.astype(INDEX_DTYPE, copy=False),
+        tptr=tptr.astype(INDEX_DTYPE, copy=False),
+        tnnz_ptr=tnnz_ptr.astype(INDEX_DTYPE, copy=False),
+        rc=rc, val=val, mask=mask, rowptr=rowptr,
+    )
+
+
+def tiles_to_csr_native(t):
+    """Native tile2csr; returns a CSR or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from spgemm_tpu.models.csr import CSR
+
+    indptr = np.zeros(t.m + 1, dtype=np.int32)
+    indices = np.zeros(t.nnz, dtype=np.int32)
+    data = np.zeros(t.nnz, dtype=np.float64)
+    lib.tile2csr(
+        _ptr(np.ascontiguousarray(t.trow, np.int32), I32),
+        _ptr(np.ascontiguousarray(t.tcol, np.int32), I32),
+        _ptr(np.ascontiguousarray(t.tnnz_ptr, np.int32), I32),
+        _ptr(np.ascontiguousarray(t.rowptr, np.int32), I32),
+        _ptr(np.ascontiguousarray(t.rc, np.int32), I32),
+        _ptr(np.ascontiguousarray(t.val, np.float64), F64),
+        ctypes.c_int64(t.nt), ctypes.c_int64(t.m),
+        ctypes.c_int64(t.tm), ctypes.c_int64(t.tn),
+        _ptr(indptr, I32), _ptr(indices, I32), _ptr(data, F64),
+    )
+    return CSR(indptr, indices, data, t.shape)

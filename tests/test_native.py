@@ -1,0 +1,54 @@
+"""Native C++ converter vs NumPy reference implementation."""
+
+import numpy as np
+import pytest
+
+from spgemm_tpu.models.tile import csr_to_tiles, tiles_to_csr
+from spgemm_tpu.utils.native import get_lib
+
+
+needs_native = pytest.mark.skipif(
+    get_lib() is None, reason="native library unavailable"
+)
+
+
+@needs_native
+@pytest.mark.parametrize("tm,tn", [(16, 16), (16, 128), (8, 32), (5, 7)])
+def test_native_matches_numpy(make_random_csr, tm, tn):
+    a = make_random_csr(300, 250, 0.03, integer_vals=False)
+    tn_ = csr_to_tiles(a, tm, tn, use_native=True)
+    tp = csr_to_tiles(a, tm, tn, use_native=False)
+    for field in ["trow", "tcol", "tptr", "tnnz_ptr", "rc", "mask", "rowptr"]:
+        np.testing.assert_array_equal(
+            getattr(tn_, field), getattr(tp, field), err_msg=field
+        )
+    np.testing.assert_array_equal(tn_.val, tp.val)
+
+
+@needs_native
+def test_native_roundtrip(make_random_csr):
+    a = make_random_csr(200, 170, 0.05, integer_vals=False)
+    t = csr_to_tiles(a, 16, 16, use_native=True)
+    back = tiles_to_csr(t, use_native=True)
+    assert a.allclose(back)
+    back_np = tiles_to_csr(t, use_native=False)
+    assert back.pattern_equal(back_np)
+    np.testing.assert_array_equal(back.data, back_np.data)
+
+
+@needs_native
+def test_native_empty():
+    from spgemm_tpu.models.csr import CSR
+
+    a = CSR.from_coo(np.zeros(0), np.zeros(0), np.zeros(0), (64, 64))
+    t = csr_to_tiles(a, 16, 16, use_native=True)
+    assert t.nt == 0
+    assert tiles_to_csr(t, use_native=True).nnz == 0
+
+
+@needs_native
+def test_native_f32_values(make_random_csr):
+    a = make_random_csr(100, 100, 0.05)
+    a = a.with_data(a.data.astype(np.float32))
+    t = csr_to_tiles(a, 16, 16, use_native=True)
+    assert t.val.dtype == np.float32
