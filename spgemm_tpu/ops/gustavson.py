@@ -184,6 +184,18 @@ def gustavson_numeric(
 ) -> tuple[jax.Array, jax.Array]:
     """Batched slab matmuls + one fused scatter. Returns
     (c_val, c_cnt): (nt_c, tm, tn) each."""
+    return gustavson_core(
+        a3_val, a3_occ, b3_val, b3_occ, seg,
+        gk=gk, max_a=max_a, max_b=max_b, tm=tm, tn=tn, nt_c=nt_c,
+        acc_dtype=acc_dtype,
+    )
+
+
+def gustavson_core(
+    a3_val, a3_occ, b3_val, b3_occ, seg,
+    *, gk, max_a, max_b, tm, tn, nt_c, acc_dtype=jnp.float32,
+):
+    """Traceable core (also used inside shard_map by parallel/dist.py)."""
 
     def slab_mm(a3, b3):
         return jax.lax.dot_general(

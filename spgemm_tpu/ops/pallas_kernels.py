@@ -116,6 +116,14 @@ def pair_accumulate_pallas(
             "pallas backend supports float32/bfloat16 accumulation; "
             "use the XLA backend for float64"
         )
+    if not interpret and jax.default_backend() not in ("cpu",):
+        # Mosaic requires 128-aligned minor dims for HBM DMA slices; the
+        # per-pair (tm, tk) tile DMAs here violate that for tk < 128. The
+        # strip kernel (gustavson_strip_pallas) is the production TPU path.
+        raise NotImplementedError(
+            "the per-pair DMA kernel is interpret-mode only on TPU "
+            "(unaligned tiny-tile DMAs); use backend='strip'"
+        )
     ntA, tm, tk = a_val.shape
     ntB, tk2, tn = b_val.shape
     assert tk == tk2

@@ -157,14 +157,15 @@ def _device_fn(a_val, a_occ, b_val, b_occ, pa, pb, seg, *, s_max, acc_dtype):
     return c_val[None, :-1], c_cnt[None, :-1]
 
 
-def spgemm_sharded(
+def spgemm_sharded_pairs(
     a: TileMat,
     b: TileMat,
     mesh: Mesh,
     *,
     acc_dtype=jnp.float32,
 ) -> TileMat:
-    """Distributed C = A @ B over all devices of `mesh` (one axis "x")."""
+    """Pair-gather distributed SpGEMM (simple, used as a cross-check for
+    the gustavson SPMD path)."""
     ndev = mesh.devices.size
     plan = plan_row_partition(a, b, ndev)
 
@@ -208,3 +209,156 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]).reshape(n), ("x",))
+
+
+# --- Gustavson SPMD path (the production formulation) ---------------------
+
+
+@dataclasses.dataclass
+class GustavsonDistPlan:
+    ndev: int
+    gk: int
+    max_a: int          # max A tiles per (device, k)
+    max_b: int
+    tm: int
+    tn: int
+    s_max: int
+    a3_val: np.ndarray  # (D, gk, max_a*tm, tk)
+    a3_occ: np.ndarray
+    b3_val: np.ndarray  # (D, gk_shard, tk, max_b*tn) sharded over k
+    b3_occ: np.ndarray
+    seg: np.ndarray     # (D, gk*max_a*max_b) local segments, pad -> s_max
+    seg_counts: np.ndarray
+    ctrow: np.ndarray   # global C tile coords (concatenated device order)
+    ctcol: np.ndarray
+
+
+def plan_gustavson_partition(
+    a: TileMat, b: TileMat, ndev: int, dtype=np.float32
+) -> GustavsonDistPlan:
+    """Row-partition A (balanced by pair count) and build one Gustavson
+    plan per device; B slabs are built once and sharded over k."""
+    from spgemm_tpu.models.tile import cdiv
+    from spgemm_tpu.ops.gustavson import build_gustavson_plan
+
+    # balance rows by pairs (reuse the expansion logic cheaply)
+    k = a.tcol.astype(np.int64)
+    bptr = b.tptr.astype(np.int64)
+    pair_per_tile = bptr[k + 1] - bptr[k]
+    pairs_per_row = np.zeros(a.gm, dtype=np.int64)
+    np.add.at(pairs_per_row, a.trow, pair_per_tile)
+    cum = np.cumsum(pairs_per_row)
+    total = int(cum[-1]) if cum.size else 0
+    bounds = np.searchsorted(cum, np.arange(1, ndev) * (total / ndev))
+    row_start = np.concatenate([[0], bounds + 1]) if ndev > 1 else np.array([0])
+    row_end = np.concatenate([bounds + 1, [a.gm]]) if ndev > 1 else np.array([a.gm])
+
+    plans = []
+    for d in range(ndev):
+        a_d = a.slice_tile_rows(int(row_start[d]), int(row_end[d]))
+        plans.append(build_gustavson_plan(a_d, b, dtype=dtype))
+
+    gk = plans[0].gk
+    tm, tk, tn = a.tm, a.tn, b.tn
+    max_a = max(1, max(p.max_a for p in plans))
+    max_b = max(1, max(p.max_b for p in plans))
+    s_max = max(1, max(p.nt_c for p in plans))
+
+    a3_val = np.zeros((ndev, gk, max_a * tm, tk), dtype=dtype)
+    a3_occ = np.zeros_like(a3_val)
+    seg = np.full((ndev, gk * max_a * max_b), s_max, dtype=np.int32)
+    ctrow_parts, ctcol_parts = [], []
+    for d, p in enumerate(plans):
+        a3_val[d, :, : p.max_a * tm] = p.a3_val
+        a3_occ[d, :, : p.max_a * tm] = p.a3_occ
+        # remap seg slots (gk, p.max_a, p.max_b) -> (gk, max_a, max_b)
+        src = p.seg.reshape(gk, p.max_a, p.max_b)
+        dst = seg[d].reshape(gk, max_a, max_b)
+        dst[:, : p.max_a, : p.max_b] = np.where(
+            src == p.nt_c, s_max, src
+        )
+        ctrow_parts.append(p.ctrow + int(row_start[d]))
+        ctcol_parts.append(p.ctcol)
+
+    # B slabs: shared across devices; shard over k (pad gk to D multiple)
+    bp = plans[0]
+    gk_shard = cdiv(gk, ndev)
+    b3_val = np.zeros((ndev, gk_shard, tk, max_b * tn), dtype=dtype)
+    b3_occ = np.zeros_like(b3_val)
+    bsrc_v = np.zeros((gk_shard * ndev, tk, max_b * tn), dtype=dtype)
+    bsrc_o = np.zeros_like(bsrc_v)
+    bsrc_v[:gk, :, : bp.max_b * tn] = bp.b3_val
+    bsrc_o[:gk, :, : bp.max_b * tn] = bp.b3_occ
+    for d in range(ndev):
+        b3_val[d] = bsrc_v[d * gk_shard : (d + 1) * gk_shard]
+        b3_occ[d] = bsrc_o[d * gk_shard : (d + 1) * gk_shard]
+
+    return GustavsonDistPlan(
+        ndev=ndev, gk=gk, max_a=max_a, max_b=max_b, tm=tm, tn=tn,
+        s_max=s_max,
+        a3_val=a3_val, a3_occ=a3_occ, b3_val=b3_val, b3_occ=b3_occ,
+        seg=seg,
+        seg_counts=np.array([p.nt_c for p in plans]),
+        ctrow=np.concatenate(ctrow_parts) if plans else np.zeros(0, np.int32),
+        ctcol=np.concatenate(ctcol_parts) if plans else np.zeros(0, np.int32),
+    )
+
+
+def spgemm_sharded(
+    a: TileMat,
+    b: TileMat,
+    mesh: Mesh,
+    *,
+    acc_dtype=jnp.float32,
+) -> TileMat:
+    """Distributed C = A @ B over all devices of `mesh` (one axis "x"):
+    A tile-rows partitioned per device (pair-count balanced), B slabs
+    sharded over the inner dimension and all-gathered over ICI inside the
+    shard_map body, C tiles owner-computed with the Gustavson slab
+    formulation (no cross-device reduction)."""
+    from spgemm_tpu.ops.gustavson import gustavson_core
+
+    ndev = mesh.devices.size
+    plan = plan_gustavson_partition(a, b, ndev)
+    gk_pad = plan.b3_val.shape[1] * ndev
+
+    def device_fn(a3v, a3o, b3v, b3o, seg):
+        b3v_g = jax.lax.all_gather(b3v[0], "x", axis=0, tiled=True)[: plan.gk]
+        b3o_g = jax.lax.all_gather(b3o[0], "x", axis=0, tiled=True)[: plan.gk]
+        cv, cc = gustavson_core(
+            a3v[0], a3o[0], b3v_g, b3o_g, seg[0],
+            gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
+            tm=plan.tm, tn=plan.tn, nt_c=plan.s_max,
+            acc_dtype=acc_dtype,
+        )
+        return cv[None], cc[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P("x"),) * 5,
+            out_specs=(P("x"), P("x")),
+            check_vma=False,
+        )
+    )
+    c_val_d, c_cnt_d = fn(
+        jnp.asarray(plan.a3_val), jnp.asarray(plan.a3_occ),
+        jnp.asarray(plan.b3_val), jnp.asarray(plan.b3_occ),
+        jnp.asarray(plan.seg),
+    )
+    c_val = np.asarray(c_val_d, dtype=np.float64)
+    c_cnt = np.asarray(c_cnt_d)
+    keep_val = np.concatenate(
+        [c_val[d, : plan.seg_counts[d]] for d in range(ndev)]
+    ) if plan.ctrow.size else np.zeros((0, plan.tm, plan.tn))
+    keep_cnt = np.concatenate(
+        [c_cnt[d, : plan.seg_counts[d]] for d in range(ndev)]
+    ) if plan.ctrow.size else np.zeros((0, plan.tm, plan.tn))
+
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    return _compact_to_tilemat(
+        plan.ctrow, plan.ctcol, keep_val, keep_cnt,
+        (a.m, b.n), a.tm, b.tn,
+    )

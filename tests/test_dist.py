@@ -6,7 +6,7 @@ import pytest
 
 from spgemm_tpu.models.tile import csr_to_tiles, tiles_to_csr
 from spgemm_tpu.ops import golden
-from spgemm_tpu.parallel.dist import make_mesh, plan_row_partition, spgemm_sharded
+from spgemm_tpu.parallel.dist import (make_mesh, plan_row_partition, spgemm_sharded, spgemm_sharded_pairs)
 
 
 def test_mesh_has_8_devices():
@@ -58,3 +58,25 @@ def test_sharded_empty(make_random_csr):
     at, bt = csr_to_tiles(a, 16, 16), csr_to_tiles(b, 16, 16)
     c = spgemm_sharded(at, bt, make_mesh(4))
     assert c.nnz == 0
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_pairs_matches_golden(make_random_csr, ndev):
+    a = make_random_csr(200, 200, 0.03)
+    at = csr_to_tiles(a, 16, 16)
+    c = spgemm_sharded_pairs(at, at, make_mesh(ndev))
+    ref = golden.spgemm_dense_row(a, a)
+    got = tiles_to_csr(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
+
+
+def test_sharded_gustavson_wide_tiles(make_random_csr):
+    a = make_random_csr(300, 300, 0.02)
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    c = spgemm_sharded(at, bt, make_mesh(8))
+    ref = golden.spgemm_dense_row(a, a)
+    got = tiles_to_csr(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
