@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark suite runner — the analogue of the reference's
+`data/run18.sh` / `data/run142.sh` loops (SuiteSparse is unreachable in
+this zero-egress environment, so the suite is a family of deterministic
+synthetic matrices spanning the same structural regimes: banded FEM-like,
+block-diagonal, random uniform, power-law rows).
+
+For each (matrix, config) it runs C=A^2, C=AA^T, and SpMM k=128 through
+the library API and appends the four CSV sinks plus a suite summary.
+
+Usage:
+  python tools/run_suite.py [--outdir data_out] [--quick] [--mtx FILE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def banded(rng, n, band, fill=0.5):
+    offs = np.arange(-band, band + 1, dtype=np.int64)
+    r = np.repeat(np.arange(n, dtype=np.int64), offs.size)
+    c = r + np.tile(offs, n)
+    keep = (c >= 0) & (c < n) & (rng.random(r.size) < fill)
+    keep |= (r == c)
+    from spgemm_tpu.models.csr import CSR
+
+    return CSR.from_coo(r[keep], c[keep],
+                        rng.integers(1, 10, keep.sum()).astype(np.float64),
+                        (n, n))
+
+
+def block_diag(rng, n, bs=64, fill=0.3):
+    nb = n // bs
+    rb = rng.integers(0, bs, size=int(nb * bs * bs * fill))
+    cb = rng.integers(0, bs, size=rb.size)
+    blk = rng.integers(0, nb, size=rb.size)
+    r = blk * bs + rb
+    c = blk * bs + cb
+    from spgemm_tpu.models.csr import CSR
+
+    return CSR.from_coo(r, c, rng.integers(1, 10, r.size).astype(np.float64),
+                        (n, n))
+
+
+def random_uniform(rng, n, nnz_per_row=16):
+    nnz = n * nnz_per_row
+    from spgemm_tpu.models.csr import CSR
+
+    return CSR.from_coo(
+        rng.integers(0, n, nnz), rng.integers(0, n, nnz),
+        rng.integers(1, 10, nnz).astype(np.float64), (n, n),
+    )
+
+
+def power_law(rng, n, base=4, heavy_frac=0.01, heavy=256):
+    rows = []
+    cols = []
+    lens = np.full(n, base)
+    heavy_rows = rng.choice(n, size=max(1, int(n * heavy_frac)), replace=False)
+    lens[heavy_rows] = heavy
+    r = np.repeat(np.arange(n), lens)
+    c = rng.integers(0, n, r.size)
+    from spgemm_tpu.models.csr import CSR
+
+    return CSR.from_coo(r, c, rng.integers(1, 10, r.size).astype(np.float64),
+                        (n, n))
+
+
+def suite(quick: bool, n: int | None = None):
+    rng = np.random.default_rng(7)
+    n = n or (8192 if quick else 65536)
+    return {
+        f"banded{n}": banded(rng, n, 64),
+        f"blockdiag{n}": block_diag(rng, n),
+        f"random{n}": random_uniform(rng, n),
+        f"powerlaw{n}": power_law(rng, n),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--outdir", default="data_out")
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--mtx", nargs="*", default=[],
+                    help="additional Matrix Market files")
+    ap.add_argument("--n", type=int, default=None, help="matrix dimension")
+    ap.add_argument("--only", default=None, help="substring filter on names")
+    ap.add_argument("--tm", type=int, default=16)
+    ap.add_argument("--tn", type=int, default=128)
+    ap.add_argument("--backend", default=None,
+                    help="default: strip on TPU, gustavson elsewhere")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.backend is None:
+        args.backend = ("strip" if jax.default_backend() not in ("cpu",)
+                        else "gustavson")
+
+    from spgemm_tpu.io.mmio import read_mtx
+    from spgemm_tpu.models.csr import flop_count_spgemm
+    from spgemm_tpu.models.tile import csr_to_tiles
+    from spgemm_tpu.ops import golden
+    from spgemm_tpu.ops.spgemm import spgemm_csr
+    from spgemm_tpu.ops.spmm import spmm
+    from spgemm_tpu.utils import csv_sink
+
+    mats = suite(args.quick, args.n)
+    if args.only:
+        mats = {k: v for k, v in mats.items() if args.only in k}
+    for path in args.mtx:
+        name = os.path.basename(path).removesuffix(".mtx")
+        mats[name], _ = read_mtx(path)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    summary = os.path.join(args.outdir, "suite_summary.csv")
+    for name, a in mats.items():
+        print(f"=== {name}: m={a.m} nnz={a.nnz}", flush=True)
+        for cfg, aat in [("A2", False), ("AAT", True)]:
+            nnz_cub = flop_count_spgemm(
+                a, a.transpose() if aat else a
+            )
+            t0 = time.perf_counter()
+            c, res = spgemm_csr(a, aat=aat, tm=args.tm, tn=args.tn,
+                                backend=args.backend)
+            wall_ms = (time.perf_counter() - t0) * 1e3
+            rt = (res.timings_ms.get("symbolic_ms", 0)
+                  + res.timings_ms.get("numeric_ms", 0))
+            gflops = 2 * nnz_cub / (rt * 1e6) if rt else 0
+            # small-matrix value check vs oracle
+            verdict = ""
+            if a.nnz < 3_000_000:
+                ref = golden.spgemm_scipy(a, a.transpose() if aat else a)
+                ok = golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-5)
+                verdict = "PASSED" if ok else "NOT PASSED"
+            csv_sink.append_row(
+                summary,
+                ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
+                 "runtime_ms", "wall_ms", "gflops", "check"],
+                [name, cfg, a.m, a.nnz, c.nnz, nnz_cub,
+                 round(rt, 3), round(wall_ms, 1), round(gflops, 2), verdict],
+            )
+            print(f"  {cfg}: nnzC={c.nnz} runtime={rt:.2f}ms "
+                  f"gflops={gflops:.2f} {verdict}", flush=True)
+        # SpMM k=128
+        at = csr_to_tiles(a, args.tm, args.tn)
+        x = np.ones((a.n, 128), np.float32)
+        t0 = time.perf_counter()
+        y = spmm(at, x)
+        jax.block_until_ready(y)
+        spmm_ms = (time.perf_counter() - t0) * 1e3
+        csv_sink.append_row(
+            summary,
+            ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
+             "runtime_ms", "wall_ms", "gflops", "check"],
+            [name, "SpMM128", a.m, a.nnz, "", 128 * a.nnz,
+             round(spmm_ms, 3), round(spmm_ms, 1),
+             round(2 * 128 * a.nnz / (spmm_ms * 1e6), 2), ""],
+        )
+        print(f"  SpMM128: {spmm_ms:.2f} ms", flush=True)
+    print(f"summary -> {summary}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
