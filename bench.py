@@ -33,8 +33,9 @@ ROWS = int(os.environ.get("BENCH_ROWS", 62451))
 BAND = int(os.environ.get("BENCH_BAND", 64))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 LOOP = int(os.environ.get("BENCH_LOOP", 20))
-TM = int(os.environ.get("BENCH_TM", 16))
+TM = int(os.environ.get("BENCH_TM", 64))
 TN = int(os.environ.get("BENCH_TN", 128))
+BLOCK_ROWS = int(os.environ.get("BENCH_BLOCK_ROWS", 32))
 BASELINE_GFLOPS = 52.63
 
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -97,38 +98,34 @@ def main():
         p2 = build_gustavson_plan(at, bt)
         sym_best = min(sym_best, p2.symbolic_ms)
 
-    sargs = build_strip_args(at, bt, plan)
-    dev = jax.device_put(
-        (sargs.a_packed, sargs.b_packed, sargs.aptr, sargs.ak,
-         sargs.cnt_b, sargs.jpos, sargs.c_tptr, sargs.c_cols)
-    )
+    sargs = build_strip_args(at, bt, plan, block_rows=BLOCK_ROWS)
+    dev = jax.device_put(sargs.device_args())
     jax.block_until_ready(dev)
 
-    kwargs = dict(gm=sargs.gm, gn_c=sargs.gn_c, nt_c=plan.nt_c,
-                  max_b=plan.max_b, max_ablock=sargs.max_ablock,
-                  max_crow=sargs.max_crow, block_rows=sargs.block_rows)
+    kwargs = sargs.kernel_kwargs(plan)
 
-    # warm-up + correctness scalar (strip Pallas kernel, the fast path)
-    packed = gustavson_strip_pallas(*dev, **kwargs)
-    nnz_c = int(jnp.sum(packed[: plan.nt_c, 1] > 0))
+    # warm-up + correctness scalar (strip Pallas kernel, the fast path;
+    # block-padding slots are zero so the whole array can be counted)
+    _, c_cnt = gustavson_strip_pallas(*dev, **kwargs)
+    nnz_c = int(jnp.sum(c_cnt > 0))
 
     # tunnel RTT (per-fetch latency to subtract from loop wall time)
     @jax.jit
     def trivial(x):
         return jnp.sum(x)
-    float(trivial(dev[2]))
+    float(trivial(dev[4]))
     rtts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(trivial(dev[2]))
+        float(trivial(dev[4]))
         rtts.append((time.perf_counter() - t0) * 1e3)
     rtt_ms = min(rtts)
 
     @jax.jit
-    def loop(ap, bp, *rest):
+    def loop(av, *rest):
         def body(i, acc):
-            out = gustavson_strip_pallas(ap + acc * 1e-30, bp, *rest, **kwargs)
-            return acc + jnp.sum(out)
+            cv, _ = gustavson_strip_pallas(av + acc * 1e-30, *rest, **kwargs)
+            return acc + jnp.sum(cv)
         return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
 
     float(loop(*dev))  # compile

@@ -232,24 +232,38 @@ class StripArgs:
     """Device operands for the Pallas strip kernel
     (ops/pallas_kernels.py:gustavson_strip_pallas)."""
 
-    a_packed: np.ndarray   # (ntA+max_ablock, 2, tm, tk)
-    b_packed: np.ndarray   # (gk, 2, tk, max_b*tn)
+    a_val: np.ndarray      # (ntA+max_ablock, tm, tk) float32
+    a_occ: np.ndarray      # (ntA+max_ablock, tm, tk) occ dtype
+    b_val: np.ndarray      # (gk, tk, max_b*tn)
+    b_occ: np.ndarray      # (gk, tk, max_b*tn) occ dtype
     aptr: np.ndarray
     ak: np.ndarray
-    cnt_b: np.ndarray
-    jpos: np.ndarray
-    c_tptr: np.ndarray
-    c_cols: np.ndarray
+    slots: np.ndarray      # (ntA_pad*max_b,) block-local C slot per pair
+    gather_idx: np.ndarray  # (nt_c,) candidate order -> block-padded pos
     gm: int
     gn_c: int
     max_ablock: int        # max A tiles in any block of block_rows rows
-    max_crow: int          # max C tiles in any row
+    max_cblock: int        # max C tiles in any block of block_rows rows
     block_rows: int
+
+    def kernel_kwargs(self, plan: "GustavsonPlan") -> dict:
+        return dict(gm=self.gm, max_b=plan.max_b,
+                    max_ablock=self.max_ablock, max_cblock=self.max_cblock,
+                    block_rows=self.block_rows)
+
+    def device_args(self):
+        return (self.a_val, self.a_occ, self.b_val, self.b_occ,
+                self.aptr, self.ak, self.slots)
 
 
 def build_strip_args(
-    a: TileMat, b: TileMat, plan: GustavsonPlan, block_rows: int = 32
+    a: TileMat, b: TileMat, plan: GustavsonPlan, block_rows: int = 32,
+    occ_dtype=None,
 ) -> StripArgs:
+    if occ_dtype is None:
+        # bfloat16 occupancy: exact 0/1 inputs, sign-safe >0 pattern test
+        import jax.numpy as _jnp
+        occ_dtype = _jnp.bfloat16
     tm, tk = a.tm, a.tn
     aptr64 = a.tptr.astype(np.int64)
     block_starts = np.arange(0, a.gm + 1, block_rows)
@@ -258,34 +272,65 @@ def build_strip_args(
     per_block = np.diff(aptr64[np.minimum(block_starts, a.gm)])
     max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
 
-    a_packed = np.zeros((a.nt + max_ablock, 2, tm, tk), dtype=plan.a3_val.dtype)
-    a_packed[: a.nt, 0] = a.dense(plan.a3_val.dtype)
-    a_packed[: a.nt, 1] = a.occ().astype(plan.a3_val.dtype)
+    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=plan.a3_val.dtype)
+    a_val[: a.nt] = a.dense(plan.a3_val.dtype)
+    a_occ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
+    a_occ[: a.nt] = a.occ().astype(occ_dtype)
     ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
     ak[: a.nt] = a.tcol
 
-    b_packed = np.stack([plan.b3_val, plan.b3_occ], axis=1)
+    b_val = plan.b3_val
+    b_occ = plan.b3_occ.astype(occ_dtype)
 
-    cnt_b = np.diff(b.tptr).astype(INDEX_DTYPE)
-    jpos = np.zeros(plan.gk * plan.max_b, dtype=INDEX_DTYPE)
-    cb = cnt_b.astype(np.int64)
-    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(
-        b.tptr[:-1].astype(np.int64), cb
-    )
-    kb = np.repeat(np.arange(plan.gk, dtype=np.int64), cb)
-    jpos[kb * plan.max_b + rank_b] = b.tcol
-
-    c_tptr = np.zeros(a.gm + 1, dtype=INDEX_DTYPE)
+    # C tile-row pointer and per-block C ranges (block-padded layout)
+    c_tptr = np.zeros(a.gm + 1, dtype=np.int64)
     crow_counts = np.bincount(plan.ctrow, minlength=a.gm)
     np.cumsum(crow_counts, out=c_tptr[1:])
-    max_crow = max(1, int(crow_counts.max()) if plan.nt_c else 1)
+    per_block_c = np.diff(c_tptr[np.minimum(block_starts, a.gm)])
+    max_cblock = max(1, int(per_block_c.max()) if per_block_c.size else 1)
+
+    # block-local C slot for every (A tile, y) pair; padded y ->
+    # max_cblock, the kernel's write-only garbage slot.
+    max_b = plan.max_b
+    cnt_b = np.diff(b.tptr).astype(np.int64)
+    jpos = np.zeros(plan.gk * max_b, dtype=np.int64)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(
+        b.tptr[:-1].astype(np.int64), cnt_b
+    )
+    kb = np.repeat(np.arange(plan.gk, dtype=np.int64), cnt_b)
+    jpos[kb * max_b + rank_b] = b.tcol
+
+    slots = np.full((a.nt + max_ablock) * max_b, max_cblock,
+                    dtype=INDEX_DTYPE)
+    if a.nt and plan.nt_c:
+        ka = a.tcol.astype(np.int64)[:, None]               # (ntA, 1)
+        ys = np.arange(max_b, dtype=np.int64)[None, :]      # (1, max_b)
+        valid = ys < cnt_b[ka]
+        j = jpos[ka * max_b + ys]                            # (ntA, max_b)
+        rows = a.trow.astype(np.int64)[:, None]
+        ukey = plan.ctrow.astype(np.int64) * b.gn + plan.ctcol
+        g = np.searchsorted(ukey, rows * b.gn + j)
+        blk_of_row = rows // block_rows
+        s = g - c_tptr[np.minimum(blk_of_row * block_rows, a.gm)]
+        s[~valid] = max_cblock
+        slots[: a.nt * max_b] = s.reshape(-1)
+
+    # candidate order -> position in the block-padded output
+    if plan.nt_c:
+        cblk = plan.ctrow.astype(np.int64) // block_rows
+        gather_idx = (
+            cblk * max_cblock
+            + np.arange(plan.nt_c, dtype=np.int64)
+            - c_tptr[np.minimum(cblk * block_rows, a.gm)]
+        )
+    else:
+        gather_idx = np.zeros(0, dtype=np.int64)
 
     return StripArgs(
-        a_packed=a_packed, b_packed=b_packed,
+        a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ,
         aptr=a.tptr.astype(INDEX_DTYPE), ak=ak,
-        cnt_b=cnt_b, jpos=jpos,
-        c_tptr=c_tptr, c_cols=plan.ctcol.astype(INDEX_DTYPE),
-        gm=a.gm, gn_c=b.gn, max_ablock=max_ablock, max_crow=max_crow,
+        slots=slots, gather_idx=gather_idx,
+        gm=a.gm, gn_c=b.gn, max_ablock=max_ablock, max_cblock=max_cblock,
         block_rows=block_rows,
     )
 
@@ -296,27 +341,28 @@ def strip_numeric(
     *,
     acc_dtype=jnp.float32,
     interpret: bool | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Run the Pallas strip kernel; returns (c_val, c_cnt)."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Run the Pallas strip kernel; returns (c_val, c_cnt) as host arrays
+    in candidate order (gather from the block-padded layout)."""
     from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # VMEM strip must fit: gn_c * 2 * tm * tn * 4 bytes
-    strip_bytes = args.gn_c * 2 * plan.tm * plan.tn * 4
-    if strip_bytes > 12 * 1024 * 1024:
+    # VMEM scratch must fit: A double buffer + B cache + staging buffers
+    occ_elt = args.a_occ.dtype.itemsize
+    vmem = (2 * args.max_ablock * plan.tm * plan.tk * (4 + occ_elt)
+            + 4 * plan.tk * plan.max_b * plan.tn * (4 + occ_elt)
+            + 2 * (args.max_cblock + 1) * plan.tm * plan.tn * (4 + occ_elt))
+    if vmem > 100 * 1024 * 1024:
         raise ValueError(
-            f"C strip ({strip_bytes/1e6:.0f} MB) exceeds VMEM budget; "
-            "use the gustavson/xla backend or larger tn"
+            f"strip kernel VMEM scratch ({vmem/1e6:.0f} MB) exceeds budget; "
+            "use the gustavson/xla backend or smaller block_rows"
         )
-    packed = gustavson_strip_pallas(
-        jnp.asarray(args.a_packed), jnp.asarray(args.b_packed),
-        jnp.asarray(args.aptr), jnp.asarray(args.ak),
-        jnp.asarray(args.cnt_b), jnp.asarray(args.jpos),
-        jnp.asarray(args.c_tptr), jnp.asarray(args.c_cols),
-        gm=args.gm, gn_c=args.gn_c, nt_c=plan.nt_c,
-        max_b=plan.max_b, max_ablock=args.max_ablock,
-        max_crow=args.max_crow, block_rows=args.block_rows,
+    c_val, c_cnt = gustavson_strip_pallas(
+        *map(jnp.asarray, args.device_args()),
+        **args.kernel_kwargs(plan),
         acc_dtype=acc_dtype, interpret=interpret,
     )
-    return packed[: plan.nt_c, 0], packed[: plan.nt_c, 1]
+    c_val = np.asarray(c_val)
+    c_cnt = np.asarray(c_cnt, dtype=np.float32)
+    return c_val[args.gather_idx], c_cnt[args.gather_idx]

@@ -174,71 +174,109 @@ def pair_accumulate_pallas(
 # The XLA gustavson backend (ops/gustavson.py) is bottlenecked by its
 # final scatter-add (XLA lowers scatter to a serialized loop on TPU, ~8%
 # of HBM bandwidth measured). This kernel removes the scatter: each grid
-# program owns a BLOCK of C tile-rows, keeps one row's strip of C tiles
-# resident in VMEM, streams A's block tiles with a single contiguous DMA,
-# streams B k-slabs through a small direct-mapped VMEM cache (banded /
-# locality-rich matrices reuse the same k across adjacent rows, so most
-# lookups hit), accumulates with MXU matmuls, and writes each C tile to
-# HBM exactly once through a per-row staging buffer. Values and
-# occupancy ride as two planes of one packed buffer. TPU grid programs
-# run sequentially on a core, so VMEM state is race-free by construction.
+# program owns a BLOCK of C tile-rows and accumulates MXU tile products
+# DIRECTLY into a block-sized VMEM staging buffer. The host plan
+# precomputes, for every (A-tile, B-slot) pair, the block-local index of
+# its C tile (`StripArgs.slots`), so the kernel needs no intersection
+# search — padded pairs route to a write-only garbage slot at the end of
+# the buffer. C is emitted in a BLOCK-PADDED HBM layout (each block owns
+# a private max_cblock-tile range), so every block's single writeback DMA
+# targets disjoint memory: no ordering constraints, no races, and the
+# writeback double-buffers against the next block's compute. A's block
+# tiles arrive by one contiguous DMA, prefetched one block ahead
+# (double-buffered); B k-slabs stream through a small direct-mapped VMEM
+# cache that persists across blocks (banded / locality-rich matrices
+# reuse the same k across adjacent rows, so most lookups hit). Values and
+# occupancy ride as two planes of one packed buffer.
 #
 # This is the TPU answer to the reference's step-4 size-binned kernels
 # (`src/tilespgemm-cuda.h:1273-2218`): instead of 5 CUDA kernels with
-# warp-level sparse accumulators, one kernel with dense VMEM strips and
-# MXU slab products.
+# warp-level sparse accumulators, one kernel with dense VMEM accumulators
+# and MXU slab products (and none of the fork's shared-scratch race,
+# SURVEY.md §2.3 ⚠).
 # ---------------------------------------------------------------------------
 
 B_CACHE_SLOTS = 4
 
 
-def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_crow, gn_c,
-                          block_rows, gm):
+def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
+                          block_rows, gm, n_blocks, val_precision):
     def kernel(
         # scalar prefetch
         aptr_ref,    # (gm+1,)  A tile-row pointer
         ak_ref,      # (ntA_pad,) tile-col k of each A tile
-        cntb_ref,    # (gk,)    B tiles per row k
-        jpos_ref,    # (gk*max_b,) C tile-col of B slot (k, y)
-        ctptr_ref,   # (gm+1,)  C tile-row pointer
-        ccol_ref,    # (ntC_pad,) C tile-col per candidate tile
+        slot_ref,    # (ntA_pad*max_b,) block-local C slot per (A tile, y);
+                     #   padded pairs -> max_cblock (the garbage slot)
         # tensor inputs (HBM)
-        a_ref,       # (ntA_pad, 2, tm, tk) packed val/occ, row-major tiles
-        b_ref,       # (gk, 2, tk, max_b*tn) packed stacked B slabs
-        # output (HBM)
-        c_ref,       # (ntC_pad, 2, tm, tn)
-        # scratch
-        strip,       # VMEM (gn_c, 2, tm, tn)
-        a_sc,        # VMEM (max_ablock, 2, tm, tk) block A slab
-        b_sc,        # VMEM (B_CACHE_SLOTS, 2, tk, max_b*tn) B cache
-        outbuf,      # VMEM (block_rows, max_crow, 2, tm, tn)
+        av_ref,      # (ntA_pad, tm, tk) A tile values, row-major tiles
+        ao_ref,      # (ntA_pad, tm, tk) A occupancy (occ dtype)
+        bv_ref,      # (gk, tk, max_b*tn) stacked B value slabs
+        bo_ref,      # (gk, tk, max_b*tn) B occupancy slabs (occ dtype)
+        # outputs (HBM), block-padded layout
+        cv_ref,      # (n_blocks*max_cblock, tm, tn) values
+        co_ref,      # (n_blocks*max_cblock, tm, tn) structural counts
+        # scratch (persists across grid programs; programs run in order)
+        av_sc,       # VMEM (2, max_ablock, tm, tk) double-buffered A values
+        ao_sc,       # VMEM (2, max_ablock, tm, tk)
+        bv_sc,       # VMEM (B_CACHE_SLOTS, tk, max_b*tn) B value cache
+        bo_sc,       # VMEM (B_CACHE_SLOTS, tk, max_b*tn)
+        ov_sc,       # VMEM (2, max_cblock+1, tm, tn) double-buffered C vals
+        oo_sc,       # VMEM (2, max_cblock+1, tm, tn) C counts
         b_tags,      # SMEM (B_CACHE_SLOTS,) cached k per slot (-1 empty)
-        a_sem,
-        b_sem,       # DMA sems (B_CACHE_SLOTS,)
-        out_sem,     # DMA sems (block_rows,)
+        av_sem,      # DMA sems (2,)
+        ao_sem,      # DMA sems (2,)
+        b_sem,       # DMA sems (B_CACHE_SLOTS, 2)
+        out_sem,     # DMA sems (2, 2)
     ):
         blk = pl.program_id(0)
-        i0 = blk * block_rows
+        buf = blk % 2
 
-        # invalidate the B cache at the start of every program (tags do
-        # not persist meaningfully across programs on all pipelines)
-        @pl.when(blk >= 0)
+        def a_dmas(p, slot):
+            lo = aptr_ref[p * block_rows]
+            return (
+                pltpu.make_async_copy(
+                    av_ref.at[pl.ds(lo, max_ablock)], av_sc.at[slot],
+                    av_sem.at[slot]),
+                pltpu.make_async_copy(
+                    ao_ref.at[pl.ds(lo, max_ablock)], ao_sc.at[slot],
+                    ao_sem.at[slot]),
+            )
+
+        def out_dmas(p, slot):
+            dst = pl.ds(p * max_cblock, max_cblock)
+            return (
+                pltpu.make_async_copy(
+                    ov_sc.at[slot, pl.ds(0, max_cblock)], cv_ref.at[dst],
+                    out_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    oo_sc.at[slot, pl.ds(0, max_cblock)], co_ref.at[dst],
+                    out_sem.at[slot, 1]),
+            )
+
+        @pl.when(blk == 0)
         def _():
             for sslot in range(B_CACHE_SLOTS):
                 b_tags[sslot] = -1
+            for d in a_dmas(0, 0):
+                d.start()
 
-        a_lo = aptr_ref[i0]
-        row_end = jnp.minimum(i0 + block_rows, gm)
-        a_hi = aptr_ref[row_end]
-
-        # one contiguous DMA for the whole block's A tiles
-        @pl.when(a_hi > a_lo)
+        # prefetch the next block's A while this block computes
+        @pl.when(blk + 1 < n_blocks)
         def _():
-            dma = pltpu.make_async_copy(
-                a_ref.at[pl.ds(a_lo, max_ablock)], a_sc, a_sem
-            )
-            dma.start()
-            dma.wait()
+            for d in a_dmas(blk + 1, 1 - buf):
+                d.start()
+
+        for d in a_dmas(blk, buf):
+            d.wait()
+
+        # outbufs[buf] were last written back by block blk-2; reclaim them
+        @pl.when(blk >= 2)
+        def _():
+            for d in out_dmas(blk - 2, buf):
+                d.wait()
+
+        ov_sc[buf] = jnp.zeros_like(ov_sc[buf])
+        oo_sc[buf] = jnp.zeros_like(oo_sc[buf])
 
         def fetch_b(k):
             """Direct-mapped cache lookup; returns the slot holding k."""
@@ -246,153 +284,126 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_crow, gn_c,
 
             @pl.when(b_tags[slot] != k)
             def _():
-                dma = pltpu.make_async_copy(
-                    b_ref.at[k], b_sc.at[slot], b_sem.at[slot]
-                )
-                dma.start()
-                dma.wait()
+                dv = pltpu.make_async_copy(
+                    bv_ref.at[k], bv_sc.at[slot], b_sem.at[slot, 0])
+                do = pltpu.make_async_copy(
+                    bo_ref.at[k], bo_sc.at[slot], b_sem.at[slot, 1])
+                dv.start()
+                do.start()
+                dv.wait()
+                do.wait()
                 b_tags[slot] = k
 
             return slot
 
-        def row_body(r, _):
-            i = i0 + r
-            lo = aptr_ref[i] - a_lo     # block-local A range
-            n_a = aptr_ref[i + 1] - aptr_ref[i]
-            c_lo = ctptr_ref[i]
-            n_c = ctptr_ref[i + 1] - c_lo
+        i0 = blk * block_rows
+        a_lo = aptr_ref[i0]
+        a_hi = aptr_ref[jnp.minimum(i0 + block_rows, gm)]
 
-            # zero this row's candidate strip tiles
-            def zero_body(s, _):
-                strip[ccol_ref[c_lo + s]] = jnp.zeros(
-                    (2, tm, tn), strip.dtype
-                )
-                return 0
-
-            jax.lax.fori_loop(0, n_c, zero_body, 0)
-
-            # accumulate the row's tile products
-            def t_body(t, _):
-                k = ak_ref[aptr_ref[i] + t]
-                slot = fetch_b(k)
-                prod_v = jnp.dot(
-                    a_sc[lo + t, 0], b_sc[slot, 0],
-                    preferred_element_type=strip.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                prod_o = jnp.dot(
-                    a_sc[lo + t, 1], b_sc[slot, 1],
-                    preferred_element_type=strip.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                nb = cntb_ref[k]
-                for y in range(max_b):  # static unroll over B slots
-                    @pl.when(y < nb)
-                    def _(y=y):
-                        j = jpos_ref[k * max_b + y]
-                        strip[j, 0] += prod_v[:, y * tn : (y + 1) * tn]
-                        strip[j, 1] += prod_o[:, y * tn : (y + 1) * tn]
-                return 0
-
-            jax.lax.fori_loop(0, n_a, t_body, 0)
-
-            # stage the row's C tiles and write them with one DMA.
-            # The DMA covers max_crow tiles; slots past n_c carry garbage
-            # that lands in later rows' output range and is overwritten
-            # when those rows execute (grid programs are sequential), and
-            # c_ref is padded by max_crow tiles at the end.
-            def stage_body(s, _):
-                outbuf[r, s] = strip[ccol_ref[c_lo + s]]
-                return 0
-
-            jax.lax.fori_loop(0, n_c, stage_body, 0)
-
-            @pl.when(n_c > 0)
-            def _():
-                pltpu.make_async_copy(
-                    outbuf.at[r],
-                    c_ref.at[pl.ds(c_lo, max_crow)],
-                    out_sem.at[r],
-                ).start()
+        def t_body(g, _):
+            k = ak_ref[g]
+            slot = fetch_b(k)
+            la = g - a_lo
+            prod_v = jnp.dot(
+                av_sc[buf, la], bv_sc[slot],
+                preferred_element_type=ov_sc.dtype,
+                precision=val_precision,
+            )
+            # Mosaic requires a 32-bit matmul accumulator; cast after
+            prod_o = jnp.dot(
+                ao_sc[buf, la], bo_sc[slot],
+                preferred_element_type=jnp.float32,
+            ).astype(oo_sc.dtype)
+            for y in range(max_b):  # static unroll over B slots
+                s = slot_ref[g * max_b + y]
+                ov_sc[buf, s] += prod_v[:, y * tn : (y + 1) * tn]
+                oo_sc[buf, s] += prod_o[:, y * tn : (y + 1) * tn]
             return 0
 
-        jax.lax.fori_loop(0, jnp.maximum(row_end - i0, 0), row_body, 0)
+        jax.lax.fori_loop(a_lo, a_hi, t_body, 0)
 
-        # drain output DMAs before the next program reuses outbuf
-        def drain(r, _):
-            i = i0 + r
-            c_lo = ctptr_ref[i]
-            n_c = ctptr_ref[i + 1] - c_lo
+        for d in out_dmas(blk, buf):
+            d.start()
 
-            @pl.when(n_c > 0)
+        # drain both in-flight writebacks at the end of the grid
+        @pl.when(blk == n_blocks - 1)
+        def _():
+            @pl.when(blk >= 1)
             def _():
-                pltpu.make_async_copy(
-                    outbuf.at[r],
-                    c_ref.at[pl.ds(c_lo, max_crow)],
-                    out_sem.at[r],
-                ).wait()
-            return 0
+                for d in out_dmas(blk - 1, 1 - buf):
+                    d.wait()
 
-        jax.lax.fori_loop(0, jnp.maximum(row_end - i0, 0), drain, 0)
+            for d in out_dmas(blk, buf):
+                d.wait()
 
     return kernel
 
 
 def gustavson_strip_pallas(
-    a_packed: jax.Array,   # (ntA_pad, 2, tm, tk)
-    b_packed: jax.Array,   # (gk, 2, tk, max_b*tn)
+    a_val: jax.Array,      # (ntA_pad, tm, tk) float32
+    a_occ: jax.Array,      # (ntA_pad, tm, tk) occ dtype (bfloat16 default)
+    b_val: jax.Array,      # (gk, tk, max_b*tn)
+    b_occ: jax.Array,      # (gk, tk, max_b*tn) occ dtype
     aptr: jax.Array,       # (gm+1,)
     ak: jax.Array,         # (ntA_pad,)
-    cnt_b: jax.Array,      # (gk,)
-    jpos: jax.Array,       # (gk*max_b,)
-    c_tptr: jax.Array,     # (gm+1,)
-    c_cols: jax.Array,     # (ntC_pad,)
+    slots: jax.Array,      # (ntA_pad*max_b,)
     *,
     gm: int,
-    gn_c: int,
-    nt_c: int,
     max_b: int,
     max_ablock: int,
-    max_crow: int,
-    block_rows: int = 16,
+    max_cblock: int,
+    block_rows: int = 32,
     acc_dtype=jnp.float32,
+    val_precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
-) -> jax.Array:
-    """Returns packed C accumulators (nt_c + max_crow, 2, tm, tn): plane 0
-    = values, plane 1 = structural counts; the trailing max_crow tiles are
-    write-spill padding (callers slice [:nt_c])."""
-    _, _, tm, tk = a_packed.shape
-    tn = b_packed.shape[3] // max_b
-    n_blocks = -(-gm // block_rows)
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (c_val, c_cnt) in the block-padded layout
+    (n_blocks*max_cblock, tm, tn) each. Block p's C tiles occupy
+    [p*max_cblock, ...); unused slots in each block's range are zero
+    (StripArgs.gather_idx maps candidate order -> padded position).
+
+    Values accumulate in acc_dtype with val_precision matmuls (Mosaic
+    supports DEFAULT and HIGHEST = 6-pass bf16). Occupancy counts
+    run in a_occ.dtype end to end — bfloat16 is exact for the 0/1
+    inputs and sign-safe for the >0 pattern test (sums of nonnegative
+    terms never round below the first term)."""
+    _, tm, tk = a_val.shape
+    tn = b_val.shape[2] // max_b
+    occ_dtype = a_occ.dtype
+    n_blocks = max(1, -(-gm // block_rows))
 
     kernel = _strip_kernel_factory(
-        tm, tk, tn, max_b, max_ablock, max_crow, gn_c, block_rows, gm
+        tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
+        n_blocks, val_precision,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((gn_c, 2, tm, tn), acc_dtype),
-            pltpu.VMEM((max_ablock, 2, tm, tk), acc_dtype),
-            pltpu.VMEM((B_CACHE_SLOTS, 2, tk, max_b * tn), acc_dtype),
-            pltpu.VMEM((block_rows, max_crow, 2, tm, tn), acc_dtype),
+            pltpu.VMEM((2, max_ablock, tm, tk), acc_dtype),
+            pltpu.VMEM((2, max_ablock, tm, tk), occ_dtype),
+            pltpu.VMEM((B_CACHE_SLOTS, tk, max_b * tn), acc_dtype),
+            pltpu.VMEM((B_CACHE_SLOTS, tk, max_b * tn), occ_dtype),
+            pltpu.VMEM((2, max_cblock + 1, tm, tn), acc_dtype),
+            pltpu.VMEM((2, max_cblock + 1, tm, tn), occ_dtype),
             pltpu.SMEM((B_CACHE_SLOTS,), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((B_CACHE_SLOTS,)),
-            pltpu.SemaphoreType.DMA((block_rows,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((B_CACHE_SLOTS, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nt_c + max_crow, 2, tm, tn), acc_dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * max_cblock, tm, tn), acc_dtype),
+            jax.ShapeDtypeStruct((n_blocks * max_cblock, tm, tn), occ_dtype),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(aptr, ak, cnt_b, jpos, c_tptr, c_cols, a_packed, b_packed)
+    )(aptr, ak, slots, a_val, a_occ, b_val, b_occ)

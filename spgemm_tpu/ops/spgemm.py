@@ -193,14 +193,22 @@ def _spgemm_gustavson(
     plan = build_gustavson_plan(a, b, dtype=np_dtype)
     timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
 
+    backend_used = "strip" if strip else "gustavson"
+    if strip and jax.default_backend() != "cpu" and not (
+        a.tn % 128 == 0 and b.tn % 128 == 0 and a.tm % 8 == 0
+    ):
+        # Mosaic HBM DMA slices need 128-aligned minor dims; small tiles
+        # run through the XLA slab path instead (same plan, same results).
+        strip = False
+        backend_used = "gustavson(strip-fallback: tiles not 128-aligned)"
+
     if strip:
         t0 = time.perf_counter()
         sargs = build_strip_args(a, b, plan)
         timings["symbolic_ms"] += (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
+        # strip_numeric syncs internally (host gather from the padded layout)
         c_val_d, c_cnt_d = strip_numeric(sargs, plan, acc_dtype=acc_dtype)
-        if sync:
-            jax.block_until_ready((c_val_d, c_cnt_d))
         timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
         timings["upload_ms"] = 0.0
     else:
@@ -237,6 +245,7 @@ def _spgemm_gustavson(
         "numblkC": float(c.nt),
         "nnzC": float(c.nnz),
         "padding_ratio": plan.padding_ratio(),
+        "backend": backend_used,
     }
     return SpGEMMResult(c=c, schedule=plan, timings_ms=timings, stats=stats)
 
