@@ -87,7 +87,7 @@ def main():
     print(f"# convert_ms={convert_ms:.1f} ntA={at.nt} ntB={bt.nt}",
           file=sys.stderr)
 
-    plan = build_gustavson_plan(at, bt)
+    plan = build_gustavson_plan(at, bt, a_slabs=False)
     print(f"# prep_ms={plan.prep_ms:.1f} symbolic_ms={plan.symbolic_ms:.2f} "
           f"pairs={plan.num_pairs} ntC={plan.nt_c} "
           f"padding={plan.padding_ratio():.2f}", file=sys.stderr)
@@ -95,7 +95,7 @@ def main():
     # re-measure per-run symbolic cost (host), best of REPEATS
     sym_best = plan.symbolic_ms
     for _ in range(REPEATS):
-        p2 = build_gustavson_plan(at, bt)
+        p2 = build_gustavson_plan(at, bt, a_slabs=False)
         sym_best = min(sym_best, p2.symbolic_ms)
 
     sargs = build_strip_args(at, bt, plan, block_rows=BLOCK_ROWS)

@@ -53,11 +53,12 @@ class GustavsonPlan:
     ctrow: np.ndarray    # (nt_c,)
     ctcol: np.ndarray
     num_pairs: int
-    a3_val: np.ndarray   # (gk, max_a*tm, tk) stacked A slabs
-    a3_occ: np.ndarray
+    a3_val: np.ndarray   # (gk, max_a*tm, tk) stacked A slabs (None if
+    a3_occ: np.ndarray   #   built with a_slabs=False — strip path)
     b3_val: np.ndarray   # (gk, tk, max_b*tn) stacked B slabs
     b3_occ: np.ndarray
     seg: np.ndarray      # (gk*max_a*max_b,) int32; padding -> nt_c
+    dtype: np.dtype = np.float32
     prep_ms: float = 0.0       # slab layout build (conversion-like, one-time)
     symbolic_ms: float = 0.0   # pair expansion + C-tile dictionary (per-run)
 
@@ -66,7 +67,10 @@ class GustavsonPlan:
         return (self.gk * self.max_a * self.max_b) / max(1, self.num_pairs)
 
 
-def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32) -> GustavsonPlan:
+def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32,
+                         a_slabs: bool = True) -> GustavsonPlan:
+    """Build the Gustavson k-group plan. With a_slabs=False the stacked A
+    slabs are skipped (the strip kernel packs A per tile-row itself)."""
     if a.n != b.m:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     if a.tn != b.tm:
@@ -86,22 +90,25 @@ def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32) -> GustavsonP
     max_b = max(1, int(cnt_b.max()) if b.nt else 1)
 
     # --- slabs (vectorized fills) ---
-    ad, ao = a.dense(dtype), a.occ().astype(dtype)
     bd, bo = b.dense(dtype), b.occ().astype(dtype)
 
-    # A slot for the r-th tile of column k (csc order): k*max_a + rank
-    rank_a = np.arange(a.nt, dtype=np.int64) - np.repeat(
-        acsc_ptr[:-1].astype(np.int64), cnt_a
-    )
-    ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
-    slot_a = ka * max_a + rank_a
-    a3_val = np.zeros((gk * max_a, tm, tk), dtype=dtype)
-    a3_occ = np.zeros((gk * max_a, tm, tk), dtype=dtype)
-    a3_val[slot_a] = ad[acsc_perm]
-    a3_occ[slot_a] = ao[acsc_perm]
-    # vertical stack: (gk, max_a*tm, tk)
-    a3_val = a3_val.reshape(gk, max_a * tm, tk)
-    a3_occ = a3_occ.reshape(gk, max_a * tm, tk)
+    if a_slabs:
+        ad, ao = a.dense(dtype), a.occ().astype(dtype)
+        # A slot for the r-th tile of column k (csc order): k*max_a + rank
+        rank_a = np.arange(a.nt, dtype=np.int64) - np.repeat(
+            acsc_ptr[:-1].astype(np.int64), cnt_a
+        )
+        ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
+        slot_a = ka * max_a + rank_a
+        a3_val = np.zeros((gk * max_a, tm, tk), dtype=dtype)
+        a3_occ = np.zeros((gk * max_a, tm, tk), dtype=dtype)
+        a3_val[slot_a] = ad[acsc_perm]
+        a3_occ[slot_a] = ao[acsc_perm]
+        # vertical stack: (gk, max_a*tm, tk)
+        a3_val = a3_val.reshape(gk, max_a * tm, tk)
+        a3_occ = a3_occ.reshape(gk, max_a * tm, tk)
+    else:
+        a3_val = a3_occ = None
 
     rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
     kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
@@ -132,6 +139,7 @@ def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32) -> GustavsonP
             num_pairs=0,
             a3_val=a3_val, a3_occ=a3_occ, b3_val=b3_val, b3_occ=b3_occ,
             seg=np.zeros(gk * max_a * max_b, INDEX_DTYPE),
+            dtype=np.dtype(dtype),
             prep_ms=prep_ms,
         )
     kk = np.repeat(np.arange(gk, dtype=np.int64), pairs_per_k)
@@ -158,6 +166,7 @@ def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32) -> GustavsonP
         num_pairs=total,
         a3_val=a3_val, a3_occ=a3_occ, b3_val=b3_val, b3_occ=b3_occ,
         seg=seg,
+        dtype=np.dtype(dtype),
         prep_ms=prep_ms,
         symbolic_ms=(time.perf_counter() - t_sym) * 1e3,
     )
@@ -272,8 +281,8 @@ def build_strip_args(
     per_block = np.diff(aptr64[np.minimum(block_starts, a.gm)])
     max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
 
-    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=plan.a3_val.dtype)
-    a_val[: a.nt] = a.dense(plan.a3_val.dtype)
+    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=plan.dtype)
+    a_val[: a.nt] = a.dense(plan.dtype)
     a_occ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
     a_occ[: a.nt] = a.occ().astype(occ_dtype)
     ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)

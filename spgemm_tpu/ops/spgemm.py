@@ -77,6 +77,20 @@ def _compact_to_tilemat(
     )
 
 
+def _estimate_padding(a: TileMat, b: TileMat) -> float:
+    """Cheap upper-bound estimate of the Gustavson slab padding ratio
+    (padded pair slots / real pairs) used by backend='auto'."""
+    acsc_ptr, _ = a.csc_view()
+    cnt_a = np.diff(acsc_ptr).astype(np.int64)
+    cnt_b = np.diff(b.tptr).astype(np.int64)
+    total = int((cnt_a * cnt_b).sum())
+    if total == 0:
+        return 1.0
+    max_a = max(1, int(cnt_a.max()))
+    max_b = max(1, int(cnt_b.max()))
+    return a.gn * max_a * max_b / total
+
+
 def spgemm(
     a: TileMat,
     b: TileMat,
@@ -84,16 +98,22 @@ def spgemm(
     compute_dtype=jnp.float32,
     acc_dtype=None,
     chunk: int = DEFAULT_CHUNK,
-    backend: str = "gustavson",
+    backend: str = "auto",
     device=None,
     sync: bool = True,
 ) -> SpGEMMResult:
     """Sparse C = A @ B on the tiled format.
 
     backend:
-      "gustavson" (default) — gather-free batched slab matmuls grouped by
-          the inner tile dimension + one fused scatter (ops/gustavson.py);
-          the measured TPU fast path.
+      "auto" (default) — "strip" when k-group padding is sane (the
+          common case), "xla" for extremely skewed tile distributions
+          where slab padding would explode.
+      "strip"  — fused Pallas kernel: MXU slab products accumulated in
+          VMEM, block-padded writeback (ops/pallas_kernels.py); the
+          measured TPU fast path. Falls back to "gustavson" off-TPU
+          alignment limits.
+      "gustavson" — gather-free batched slab matmuls grouped by the
+          inner tile dimension + one fused scatter (ops/gustavson.py).
       "xla"    — pair-gather + batched einsum + scatter-add; no k-group
           padding, better for extremely skewed tile distributions.
       "pallas" — fused per-C-tile DMA kernel (experimental).
@@ -105,6 +125,9 @@ def spgemm(
             "(jax.config.update('jax_enable_x64', True))"
         )
     timings: dict[str, float] = {}
+
+    if backend == "auto":
+        backend = "strip" if _estimate_padding(a, b) <= 16.0 else "xla"
 
     if backend in ("gustavson", "strip"):
         return _spgemm_gustavson(
@@ -189,10 +212,6 @@ def _spgemm_gustavson(
     np_dtype = np.float64 if jnp.dtype(compute_dtype) == jnp.float64 else np.float32
     timings: dict[str, float] = {}
 
-    t0 = time.perf_counter()
-    plan = build_gustavson_plan(a, b, dtype=np_dtype)
-    timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
-
     backend_used = "strip" if strip else "gustavson"
     if strip and jax.default_backend() != "cpu" and not (
         a.tn % 128 == 0 and b.tn % 128 == 0 and a.tm % 8 == 0
@@ -201,6 +220,11 @@ def _spgemm_gustavson(
         # run through the XLA slab path instead (same plan, same results).
         strip = False
         backend_used = "gustavson(strip-fallback: tiles not 128-aligned)"
+
+    t0 = time.perf_counter()
+    # the strip kernel packs A per tile-row itself — skip the A slabs
+    plan = build_gustavson_plan(a, b, dtype=np_dtype, a_slabs=not strip)
+    timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
 
     if strip:
         t0 = time.perf_counter()

@@ -116,3 +116,10 @@ def test_spgemm_sequential_values_exact(make_random_csr):
     ref = golden.spgemm_dense_row(a, a)
     assert c.pattern_equal(ref)
     np.testing.assert_array_equal(c.data, ref.data)
+
+
+def test_auto_backend(make_random_csr):
+    a = make_random_csr(100, 100, 0.05)
+    c, res = spgemm_csr(a, backend="auto")
+    ref = golden.spgemm_scipy(a, a)
+    assert golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-6)

@@ -97,6 +97,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tn", type=int, default=128)
     ap.add_argument("--backend", default=None,
                     help="default: strip on TPU, gustavson elsewhere")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip (matrix, config) rows already in the summary")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="save/load converted tile formats as .npz")
     args = ap.parse_args(argv)
 
     import jax
@@ -122,9 +126,22 @@ def main(argv=None) -> int:
 
     os.makedirs(args.outdir, exist_ok=True)
     summary = os.path.join(args.outdir, "suite_summary.csv")
+
+    done: set[tuple[str, str]] = set()
+    if args.resume and os.path.exists(summary):
+        import csv as _csv
+
+        with open(summary) as f:
+            for row in _csv.DictReader(f):
+                done.add((row["matrix"], row["config"]))
+        print(f"resume: {len(done)} completed rows in {summary}")
+
     for name, a in mats.items():
         print(f"=== {name}: m={a.m} nnz={a.nnz}", flush=True)
         for cfg, aat in [("A2", False), ("AAT", True)]:
+            if (name, cfg) in done:
+                print(f"  {cfg}: skipped (resume)", flush=True)
+                continue
             nnz_cub = flop_count_spgemm(
                 a, a.transpose() if aat else a
             )
@@ -151,7 +168,22 @@ def main(argv=None) -> int:
             print(f"  {cfg}: nnzC={c.nnz} runtime={rt:.2f}ms "
                   f"gflops={gflops:.2f} {verdict}", flush=True)
         # SpMM k=128
-        at = csr_to_tiles(a, args.tm, args.tn)
+        if (name, "SpMM128") in done:
+            print("  SpMM128: skipped (resume)", flush=True)
+            continue
+        if args.checkpoint_dir:
+            from spgemm_tpu.io import checkpoint
+
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            ck = os.path.join(args.checkpoint_dir,
+                              f"{name}_t{args.tm}x{args.tn}.npz")
+            if os.path.exists(ck):
+                at = checkpoint.load(ck)
+            else:
+                at = csr_to_tiles(a, args.tm, args.tn)
+                checkpoint.save(ck, at)
+        else:
+            at = csr_to_tiles(a, args.tm, args.tn)
         x = np.ones((a.n, 128), np.float32)
         t0 = time.perf_counter()
         y = spmm(at, x)
