@@ -265,6 +265,47 @@ class StripArgs:
                 self.aptr, self.ak, self.slots)
 
 
+def estimate_strip_vmem(a: TileMat, b: TileMat, plan: GustavsonPlan,
+                        block_rows: int, occ_bytes: int = 2) -> int:
+    """VMEM scratch bytes the strip kernel would need at this block_rows
+    (pointer math only — no slabs built)."""
+    val_bytes = plan.dtype.itemsize
+    starts = np.arange(0, a.gm + 1, block_rows)
+    if starts.size == 0 or starts[-1] != a.gm:
+        starts = np.append(starts, a.gm)
+    pts = np.minimum(starts, a.gm)
+    per_a = np.diff(a.tptr.astype(np.int64)[pts])
+    max_ablock = max(1, int(per_a.max()) if per_a.size else 1)
+    c_tptr = np.zeros(a.gm + 1, dtype=np.int64)
+    np.cumsum(np.bincount(plan.ctrow, minlength=a.gm), out=c_tptr[1:])
+    per_c = np.diff(c_tptr[pts])
+    max_cblock = max(1, int(per_c.max()) if per_c.size else 1)
+    both = val_bytes + occ_bytes
+    return (2 * max_ablock * plan.tm * plan.tk * both
+            + 4 * plan.tk * plan.max_b * plan.tn * both
+            + 2 * (max_cblock + 1) * plan.tm * plan.tn * both)
+
+
+def choose_strip_block_rows(
+    a: TileMat, b: TileMat, plan: GustavsonPlan,
+    budget: int = 100 * 1024 * 1024, start: int = 32,
+    smem_budget: int = 512 * 1024,
+) -> int | None:
+    """Largest block_rows <= start whose VMEM scratch fits the budget, or
+    None if the kernel can't run (caller should fall back to the XLA slab
+    backend): even block_rows=1 over VMEM, or the scalar-prefetch arrays
+    (dominated by `slots`: (ntA+max_ablock)*max_b int32) over SMEM."""
+    # max_ablock <= ntA, so 2*ntA*max_b is a safe upper bound
+    if 2 * (a.nt + 1) * plan.max_b * 4 > smem_budget:
+        return None
+    br = start
+    while br >= 1:
+        if estimate_strip_vmem(a, b, plan, br) <= budget:
+            return br
+        br //= 2
+    return None
+
+
 def build_strip_args(
     a: TileMat, b: TileMat, plan: GustavsonPlan, block_rows: int = 32,
     occ_dtype=None,

@@ -407,3 +407,142 @@ def gustavson_strip_pallas(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(aptr, ak, slots, a_val, a_occ, b_val, b_occ)
+
+
+# ---------------------------------------------------------------------------
+# SpMM strip kernel: Y = A @ X with dense X resident in VMEM.
+#
+# The XLA SpMM path (ops/spmm.py:_spmm_tiles) gathers an (nt, tn, k) copy
+# of X blocks — for unstructured matrices that is far more traffic than
+# A itself. Here X lives in VMEM once (n*k*4 bytes, fits for n ~< 90k at
+# k=128), A tiles stream per block of tile-rows with double-buffered
+# contiguous DMA (same pattern as the SpGEMM strip kernel), and each
+# block's Y rows are staged in VMEM and written back exactly once. Total
+# HBM traffic = A once + X once + Y once: speed of light for this op.
+# ---------------------------------------------------------------------------
+
+
+def _spmm_kernel_factory(tm, tk, k, max_ablock, block_rows, gm, gk,
+                         n_blocks, precision):
+    def kernel(
+        aptr_ref,    # (gm+1,)
+        ak_ref,      # (ntA_pad,) tile-col of each A tile
+        arow_ref,    # (ntA_pad,) tile-row of each A tile
+        a_ref,       # (ntA_pad, tm, tk) HBM
+        x_ref,       # (gk, tk, k) HBM
+        y_ref,       # (n_blocks*block_rows, tm, k) HBM
+        a_sc,        # VMEM (2, max_ablock, tm, tk)
+        x_sc,        # VMEM (gk, tk, k) — X resident
+        y_sc,        # VMEM (2, block_rows, tm, k)
+        a_sem,       # DMA (2,)
+        x_sem,
+        y_sem,       # DMA (2,)
+    ):
+        blk = pl.program_id(0)
+        buf = blk % 2
+
+        def a_dma(p, slot):
+            return pltpu.make_async_copy(
+                a_ref.at[pl.ds(aptr_ref[p * block_rows], max_ablock)],
+                a_sc.at[slot], a_sem.at[slot])
+
+        def y_dma(p, slot):
+            return pltpu.make_async_copy(
+                y_sc.at[slot],
+                y_ref.at[pl.ds(p * block_rows, block_rows)],
+                y_sem.at[slot])
+
+        @pl.when(blk == 0)
+        def _():
+            xd = pltpu.make_async_copy(x_ref, x_sc, x_sem)
+            xd.start()
+            a_dma(0, 0).start()
+            xd.wait()
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            a_dma(blk + 1, 1 - buf).start()
+
+        a_dma(blk, buf).wait()
+
+        @pl.when(blk >= 2)
+        def _():
+            y_dma(blk - 2, buf).wait()
+
+        y_sc[buf] = jnp.zeros_like(y_sc[buf])
+
+        i0 = blk * block_rows
+        a_lo = aptr_ref[i0]
+        a_hi = aptr_ref[jnp.minimum(i0 + block_rows, gm)]
+
+        def t_body(g, _):
+            r = arow_ref[g] - i0
+            prod = jnp.dot(
+                a_sc[buf, g - a_lo], x_sc[ak_ref[g]],
+                preferred_element_type=y_sc.dtype,
+                precision=precision,
+            )
+            y_sc[buf, r] += prod
+            return 0
+
+        jax.lax.fori_loop(a_lo, a_hi, t_body, 0)
+
+        y_dma(blk, buf).start()
+
+        @pl.when(blk == n_blocks - 1)
+        def _():
+            @pl.when(blk >= 1)
+            def _():
+                y_dma(blk - 1, 1 - buf).wait()
+
+            y_dma(blk, buf).wait()
+
+    return kernel
+
+
+def spmm_strip_pallas(
+    a_dense: jax.Array,   # (ntA_pad, tm, tk)
+    xb: jax.Array,        # (gk, tk, k)
+    aptr: jax.Array,      # (gm+1,)
+    ak: jax.Array,        # (ntA_pad,)
+    arow: jax.Array,      # (ntA_pad,)
+    *,
+    gm: int,
+    max_ablock: int,
+    block_rows: int = 64,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """Returns Y as (n_blocks*block_rows, tm, k); rows past gm are
+    garbage padding (callers slice [:gm])."""
+    _, tm, tk = a_dense.shape
+    gk, _, k = xb.shape
+    n_blocks = max(1, -(-gm // block_rows))
+    kernel = _spmm_kernel_factory(
+        tm, tk, k, max_ablock, block_rows, gm, gk, n_blocks, precision
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, max_ablock, tm, tk), a_dense.dtype),
+            pltpu.VMEM((gk, tk, k), xb.dtype),
+            pltpu.VMEM((2, block_rows, tm, k), a_dense.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * block_rows, tm, k), a_dense.dtype
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(aptr, ak, arow, a_dense, xb)

@@ -77,18 +77,48 @@ def _compact_to_tilemat(
     )
 
 
-def _estimate_padding(a: TileMat, b: TileMat) -> float:
-    """Cheap upper-bound estimate of the Gustavson slab padding ratio
-    (padded pair slots / real pairs) used by backend='auto'."""
+def _resolve_backend(a: TileMat, b: TileMat, backend: str) -> tuple[str, str]:
+    """Pick a feasible Gustavson-family backend from cheap tile-pointer
+    stats (no slabs built). Returns (backend, note).
+
+    Feasibility gates:
+      strip     — slot table fits SMEM; B-slab cache fits VMEM; 128-aligned
+                  tiles on hardware (Mosaic DMA constraint).
+      gustavson — padded pair-product buffer fits a sane HBM budget (it is
+                  materialized before the scatter).
+      xla       — always feasible (chunked pair gather).
+    """
     acsc_ptr, _ = a.csc_view()
     cnt_a = np.diff(acsc_ptr).astype(np.int64)
     cnt_b = np.diff(b.tptr).astype(np.int64)
-    total = int((cnt_a * cnt_b).sum())
-    if total == 0:
-        return 1.0
-    max_a = max(1, int(cnt_a.max()))
-    max_b = max(1, int(cnt_b.max()))
-    return a.gn * max_a * max_b / total
+    max_a = max(1, int(cnt_a.max())) if a.nt else 1
+    max_b = max(1, int(cnt_b.max())) if b.nt else 1
+    gk = a.gn
+    tm, tk, tn = a.tm, a.tn, b.tn
+
+    aligned = (tn % 128 == 0 and tm % 8 == 0) or jax.default_backend() == "cpu"
+    strip_ok = (
+        aligned
+        and 2 * (a.nt + 1) * max_b * 4 <= 512 * 1024          # slots in SMEM
+        and 4 * tk * max_b * tn * 6 <= 64 * 1024 * 1024        # B cache VMEM
+    )
+    # slab backend materializes (gk*max_a*max_b, tm, tn) x2 pair products
+    slab_bytes = gk * max_a * max_b * tm * tn * 8
+    slab_ok = slab_bytes <= 4 << 30
+
+    if backend == "auto":
+        if strip_ok:
+            return "strip", ""
+        if slab_ok:
+            return "gustavson", ""
+        return "xla", ""
+    if backend == "strip" and not strip_ok:
+        if slab_ok:
+            return "gustavson", "strip-fallback: SMEM/VMEM/alignment limits"
+        return "xla", "strip-fallback: SMEM/VMEM/alignment limits"
+    if backend == "gustavson" and not slab_ok:
+        return "xla", "gustavson-fallback: pair products exceed HBM budget"
+    return backend, ""
 
 
 def spgemm(
@@ -126,13 +156,15 @@ def spgemm(
         )
     timings: dict[str, float] = {}
 
-    if backend == "auto":
-        backend = "strip" if _estimate_padding(a, b) <= 16.0 else "xla"
+    note = ""
+    if backend in ("auto", "strip", "gustavson"):
+        backend, note = _resolve_backend(a, b, backend)
 
     if backend in ("gustavson", "strip"):
         return _spgemm_gustavson(
             a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
             device=device, sync=sync, strip=(backend == "strip"),
+            note=note,
         )
 
     t0 = time.perf_counter()
@@ -207,19 +239,15 @@ def _spgemm_gustavson(
     device=None,
     sync: bool = True,
     strip: bool = False,
+    note: str = "",
 ) -> SpGEMMResult:
     acc_dtype = acc_dtype or compute_dtype
     np_dtype = np.float64 if jnp.dtype(compute_dtype) == jnp.float64 else np.float32
     timings: dict[str, float] = {}
 
     backend_used = "strip" if strip else "gustavson"
-    if strip and jax.default_backend() != "cpu" and not (
-        a.tn % 128 == 0 and b.tn % 128 == 0 and a.tm % 8 == 0
-    ):
-        # Mosaic HBM DMA slices need 128-aligned minor dims; small tiles
-        # run through the XLA slab path instead (same plan, same results).
-        strip = False
-        backend_used = "gustavson(strip-fallback: tiles not 128-aligned)"
+    if note:
+        backend_used = f"{backend_used}({note})"
 
     t0 = time.perf_counter()
     # the strip kernel packs A per tile-row itself — skip the A slabs
@@ -227,8 +255,21 @@ def _spgemm_gustavson(
     timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
 
     if strip:
+        from spgemm_tpu.ops.gustavson import choose_strip_block_rows
+
+        block_rows = choose_strip_block_rows(a, b, plan)
+        if block_rows is None:
+            # VMEM scratch would not fit at any block size (huge C rows
+            # or B slabs) — run the XLA slab path instead.
+            strip = False
+            backend_used = "gustavson(strip-fallback: VMEM budget)"
+            t0 = time.perf_counter()
+            plan = build_gustavson_plan(a, b, dtype=np_dtype)
+            timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
+
+    if strip:
         t0 = time.perf_counter()
-        sargs = build_strip_args(a, b, plan)
+        sargs = build_strip_args(a, b, plan, block_rows=block_rows)
         timings["symbolic_ms"] += (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
         # strip_numeric syncs internally (host gather from the padded layout)

@@ -75,8 +75,27 @@ def _spmm_tiles(
     return y
 
 
-def spmm(a: TileMat, x, *, dtype=jnp.float32) -> jax.Array:
-    """Y = A @ X. x: (n, k) or (n,) array-like. Returns (m, k) / (m,)."""
+def _strip_spmm_feasible(a: TileMat, k_pad: int) -> bool:
+    """The Pallas SpMM kernel needs 128-aligned DMA minor dims and X + Y
+    staging resident in VMEM."""
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return True  # interpret mode has no alignment/VMEM limits
+    if a.tn % 128 != 0 or a.tm % 8 != 0:
+        return False
+    x_bytes = a.gn * a.tn * k_pad * 4
+    return x_bytes <= 48 * 1024 * 1024
+
+
+def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Array:
+    """Y = A @ X. x: (n, k) or (n,) array-like. Returns (m, k) / (m,).
+
+    backend "auto" uses the Pallas strip kernel (X resident in VMEM, A
+    streamed once — ops/pallas_kernels.py:spmm_strip_pallas) when tile
+    shapes and VMEM allow, else the XLA gather path. "xla" forces the
+    gather path; "strip" forces the kernel.
+    """
     x = np.asarray(x)
     vec = x.ndim == 1
     if vec:
@@ -84,17 +103,65 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32) -> jax.Array:
     if x.shape[0] != a.n:
         raise ValueError(f"shape mismatch: A is {a.shape}, X is {x.shape}")
     k = x.shape[1]
-    pad = a.gn * a.tn - a.n
-    xb = np.pad(x, ((0, pad), (0, 0))).reshape(a.gn, a.tn, k)
-    y = _spmm_tiles(
-        jnp.asarray(a.dense(), dtype=dtype),
-        jnp.asarray(a.trow),
-        jnp.asarray(a.tcol),
-        jnp.asarray(xb, dtype=dtype),
-        gm=a.gm,
+    k_pad = max(128, -(-k // 128) * 128)
+
+    import jax as _jax
+
+    f64 = jnp.dtype(dtype) == jnp.dtype(np.float64)
+    hw_ok = _jax.default_backend() == "cpu" or not f64  # no f64 MXU path
+    use_strip = backend == "strip" or (
+        backend == "auto" and hw_ok and _strip_spmm_feasible(a, k_pad)
     )
-    y = y.reshape(a.gm * a.tm, k)[: a.m]
+    if use_strip:
+        y = _spmm_strip(a, x, k_pad, dtype)
+    else:
+        pad = a.gn * a.tn - a.n
+        xb = np.pad(x, ((0, pad), (0, 0))).reshape(a.gn, a.tn, k)
+        y = _spmm_tiles(
+            jnp.asarray(a.dense(), dtype=dtype),
+            jnp.asarray(a.trow),
+            jnp.asarray(a.tcol),
+            jnp.asarray(xb, dtype=dtype),
+            gm=a.gm,
+        ).reshape(a.gm * a.tm, k)
+    y = y[: a.m, :k]
     return y[:, 0] if vec else y
+
+
+def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
+                block_rows: int = 64) -> jax.Array:
+    import jax as _jax
+
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+    from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
+
+    k = x.shape[1]
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    xb = np.zeros((a.gn, a.tn, k_pad), dtype=np_dtype)
+    xb.reshape(a.gn * a.tn, k_pad)[: a.n, :k] = x
+
+    aptr64 = a.tptr.astype(np.int64)
+    starts = np.arange(0, a.gm + 1, block_rows)
+    if starts.size == 0 or starts[-1] != a.gm:
+        starts = np.append(starts, a.gm)
+    per_block = np.diff(aptr64[np.minimum(starts, a.gm)])
+    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+
+    a_dense = np.zeros((a.nt + max_ablock, a.tm, a.tn), dtype=np_dtype)
+    a_dense[: a.nt] = a.dense(np_dtype)
+    ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
+    ak[: a.nt] = a.tcol
+    arow = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
+    arow[: a.nt] = a.trow
+
+    y = spmm_strip_pallas(
+        jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
+        jnp.asarray(a.tptr.astype(INDEX_DTYPE)), jnp.asarray(ak),
+        jnp.asarray(arow),
+        gm=a.gm, max_ablock=max_ablock, block_rows=block_rows,
+        interpret=_jax.default_backend() == "cpu",
+    )
+    return y.reshape(-1, k_pad)[: a.gm * a.tm]
 
 
 def spmv(a: TileMat, x, *, dtype=jnp.float32) -> jax.Array:

@@ -145,6 +145,10 @@ def main(argv=None) -> int:
             nnz_cub = flop_count_spgemm(
                 a, a.transpose() if aat else a
             )
+            # warm-up dispatch populates the jit cache (first-call numbers
+            # measure XLA compilation + tunnel RTT, not the kernel)
+            spgemm_csr(a, aat=aat, tm=args.tm, tn=args.tn,
+                       backend=args.backend)
             t0 = time.perf_counter()
             c, res = spgemm_csr(a, aat=aat, tm=args.tm, tn=args.tn,
                                 backend=args.backend)
@@ -185,6 +189,7 @@ def main(argv=None) -> int:
         else:
             at = csr_to_tiles(a, args.tm, args.tn)
         x = np.ones((a.n, 128), np.float32)
+        jax.block_until_ready(spmm(at, x))  # warm-up (compile)
         t0 = time.perf_counter()
         y = spmm(at, x)
         jax.block_until_ready(y)
