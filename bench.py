@@ -69,10 +69,7 @@ def main():
 
     from spgemm_tpu.models.csr import flop_count_spgemm
     from spgemm_tpu.models.tile import csr_to_tiles
-    from spgemm_tpu.ops.gustavson import (
-        build_gustavson_plan,
-        build_strip_args,
-    )
+    from spgemm_tpu.ops.gustavson import build_strip_args
     from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
 
     a = make_cantlike(ROWS, BAND)
@@ -87,22 +84,21 @@ def main():
     print(f"# convert_ms={convert_ms:.1f} ntA={at.nt} ntB={bt.nt}",
           file=sys.stderr)
 
-    plan = build_gustavson_plan(at, bt, a_slabs=False)
-    print(f"# prep_ms={plan.prep_ms:.1f} symbolic_ms={plan.symbolic_ms:.2f} "
-          f"pairs={plan.num_pairs} ntC={plan.nt_c} "
-          f"padding={plan.padding_ratio():.2f}", file=sys.stderr)
+    sargs = build_strip_args(at, bt, block_rows=BLOCK_ROWS)
+    print(f"# prep_ms={sargs.prep_ms:.1f} symbolic_ms={sargs.symbolic_ms:.2f} "
+          f"pairs={sargs.num_pairs} ntC={sargs.nt_c}", file=sys.stderr)
 
-    # re-measure per-run symbolic cost (host), best of REPEATS
-    sym_best = plan.symbolic_ms
+    # re-measure per-run symbolic cost (host: C tile dictionary + slot
+    # table, the strip kernel's steps 1-2 analogue), best of REPEATS
+    sym_best = sargs.symbolic_ms
     for _ in range(REPEATS):
-        p2 = build_gustavson_plan(at, bt, a_slabs=False)
-        sym_best = min(sym_best, p2.symbolic_ms)
+        s2 = build_strip_args(at, bt, block_rows=BLOCK_ROWS)
+        sym_best = min(sym_best, s2.symbolic_ms)
 
-    sargs = build_strip_args(at, bt, plan, block_rows=BLOCK_ROWS)
     dev = jax.device_put(sargs.device_args())
     jax.block_until_ready(dev)
 
-    kwargs = sargs.kernel_kwargs(plan)
+    kwargs = sargs.kernel_kwargs()
 
     # warm-up + correctness scalar (strip Pallas kernel, the fast path;
     # block-padding slots are zero so the whole array can be counted)

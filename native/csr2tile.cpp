@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
 #include <vector>
 
 #ifdef _OPENMP
@@ -201,6 +202,100 @@ void tile2csr(
         indices[cur[gr]] = (int32_t)(c0 + rc[q] % tn);
         data[cur[gr]] = val[q];
         ++cur[gr];
+      }
+    }
+  }
+}
+
+// -------------------------------------------------------------------------
+// Gustavson symbolic phase for the strip SpGEMM kernel: per C tile-row,
+// the set of C tile-columns is the union of B tile-rows selected by A's
+// tiles in that row. Functional equivalent of the reference's step 1-2
+// symbolic kernels (`src/tilespgemm-cuda.h:279-392,394-773`) on the host,
+// OpenMP over tile-rows with per-thread dense stamp maps.
+// -------------------------------------------------------------------------
+
+// Phase 1: count C tiles per tile-row of A. Writes c_tptr (gm+1,
+// exclusive scan) and returns nt_c.
+int64_t gustavson_symbolic_count(
+    const int32_t* tptr_a, const int32_t* tcol_a, int64_t gm, int64_t gn_c,
+    const int32_t* tptr_b, const int32_t* tcol_b,
+    int32_t* c_tptr /* gm+1 */) {
+#pragma omp parallel
+  {
+    std::vector<int32_t> stamp(gn_c, -1);
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t i = 0; i < gm; ++i) {
+      int32_t cnt = 0;
+      for (int32_t t = tptr_a[i]; t < tptr_a[i + 1]; ++t) {
+        const int32_t k = tcol_a[t];
+        for (int32_t p = tptr_b[k]; p < tptr_b[k + 1]; ++p) {
+          const int32_t j = tcol_b[p];
+          if (stamp[j] != (int32_t)i) {
+            stamp[j] = (int32_t)i;
+            ++cnt;
+          }
+        }
+      }
+      c_tptr[i + 1] = cnt;
+    }
+  }
+  c_tptr[0] = 0;
+  for (int64_t i = 0; i < gm; ++i) c_tptr[i + 1] += c_tptr[i];
+  return c_tptr[gm];
+}
+
+// Phase 2: emit sorted C tile coordinates, the strip kernel's per-pair
+// block-local slot table (padded pairs -> max_cblock), and the candidate
+// -> block-padded-position gather map.
+void gustavson_symbolic_fill(
+    const int32_t* tptr_a, const int32_t* tcol_a, int64_t gm, int64_t gn_c,
+    const int32_t* tptr_b, const int32_t* tcol_b,
+    const int32_t* c_tptr,
+    int64_t block_rows, int64_t max_cblock, int64_t max_b,
+    int32_t* ctrow, int32_t* ctcol,        // (nt_c,)
+    int32_t* slots,                        // (ntA_pad*max_b,) prefilled
+    int64_t* gather_idx) {                 // (nt_c,)
+#pragma omp parallel
+  {
+    std::vector<int32_t> stamp(gn_c, -1);
+    std::vector<int32_t> loc(gn_c, 0);
+    std::vector<int32_t> cols;
+#pragma omp for schedule(dynamic, 16)
+    for (int64_t i = 0; i < gm; ++i) {
+      const int64_t i0 = (i / block_rows) * block_rows;
+      const int64_t blk = i / block_rows;
+      const int64_t c_lo = c_tptr[i];
+      const int64_t blk_base = c_tptr[i0];
+      // collect this row's distinct C columns
+      cols.clear();
+      for (int32_t t = tptr_a[i]; t < tptr_a[i + 1]; ++t) {
+        const int32_t k = tcol_a[t];
+        for (int32_t p = tptr_b[k]; p < tptr_b[k + 1]; ++p) {
+          const int32_t j = tcol_b[p];
+          if (stamp[j] != (int32_t)i) {
+            stamp[j] = (int32_t)i;
+            cols.push_back(j);
+          }
+        }
+      }
+      std::sort(cols.begin(), cols.end());
+      for (int32_t s = 0; s < (int32_t)cols.size(); ++s) {
+        const int32_t j = cols[s];
+        ctrow[c_lo + s] = (int32_t)i;
+        ctcol[c_lo + s] = j;
+        gather_idx[c_lo + s] = blk * max_cblock + (c_lo - blk_base) + s;
+        loc[j] = s;
+      }
+      // per-pair slots (block-local)
+      const int64_t row_base = c_lo - blk_base;
+      for (int32_t t = tptr_a[i]; t < tptr_a[i + 1]; ++t) {
+        const int32_t k = tcol_a[t];
+        const int32_t nb = tptr_b[k + 1] - tptr_b[k];
+        for (int32_t y = 0; y < nb && y < (int32_t)max_b; ++y) {
+          const int32_t j = tcol_b[tptr_b[k] + y];
+          slots[(int64_t)t * max_b + y] = (int32_t)(row_base + loc[j]);
+        }
       }
     }
   }

@@ -238,8 +238,14 @@ def gustavson_core(
 
 @dataclasses.dataclass
 class StripArgs:
-    """Device operands for the Pallas strip kernel
-    (ops/pallas_kernels.py:gustavson_strip_pallas)."""
+    """Self-contained plan + device operands for the Pallas strip kernel
+    (ops/pallas_kernels.py:gustavson_strip_pallas). Built by
+    build_strip_args without a GustavsonPlan: B slabs and A packing are
+    one-time format prep (prep_ms); the symbolic phase (C tile dictionary
+    + per-pair slot table) runs natively in C++/OpenMP when available
+    (native/csr2tile.cpp:gustavson_symbolic_*), else vectorized NumPy
+    (symbolic_ms — the per-run cost, the analogue of the reference's
+    steps 1-2)."""
 
     a_val: np.ndarray      # (ntA+max_ablock, tm, tk) float32
     a_occ: np.ndarray      # (ntA+max_ablock, tm, tk) occ dtype
@@ -249,14 +255,25 @@ class StripArgs:
     ak: np.ndarray
     slots: np.ndarray      # (ntA_pad*max_b,) block-local C slot per pair
     gather_idx: np.ndarray  # (nt_c,) candidate order -> block-padded pos
+    ctrow: np.ndarray      # (nt_c,) C tile coordinates, sorted
+    ctcol: np.ndarray
+    nt_c: int
+    num_pairs: int
     gm: int
     gn_c: int
+    tm: int
+    tk: int
+    tn: int
+    max_b: int
     max_ablock: int        # max A tiles in any block of block_rows rows
     max_cblock: int        # max C tiles in any block of block_rows rows
     block_rows: int
+    dtype: np.dtype = np.float32
+    prep_ms: float = 0.0
+    symbolic_ms: float = 0.0
 
-    def kernel_kwargs(self, plan: "GustavsonPlan") -> dict:
-        return dict(gm=self.gm, max_b=plan.max_b,
+    def kernel_kwargs(self) -> dict:
+        return dict(gm=self.gm, max_b=self.max_b,
                     max_ablock=self.max_ablock, max_cblock=self.max_cblock,
                     block_rows=self.block_rows)
 
@@ -264,130 +281,158 @@ class StripArgs:
         return (self.a_val, self.a_occ, self.b_val, self.b_occ,
                 self.aptr, self.ak, self.slots)
 
+    def vmem_bytes(self) -> int:
+        occ_elt = self.a_occ.dtype.itemsize
+        both = self.dtype.itemsize + occ_elt
+        return (2 * self.max_ablock * self.tm * self.tk * both
+                + 4 * self.tk * self.max_b * self.tn * both
+                + 2 * (self.max_cblock + 1) * self.tm * self.tn * both)
 
-def estimate_strip_vmem(a: TileMat, b: TileMat, plan: GustavsonPlan,
-                        block_rows: int, occ_bytes: int = 2) -> int:
-    """VMEM scratch bytes the strip kernel would need at this block_rows
-    (pointer math only — no slabs built)."""
-    val_bytes = plan.dtype.itemsize
-    starts = np.arange(0, a.gm + 1, block_rows)
-    if starts.size == 0 or starts[-1] != a.gm:
-        starts = np.append(starts, a.gm)
-    pts = np.minimum(starts, a.gm)
-    per_a = np.diff(a.tptr.astype(np.int64)[pts])
-    max_ablock = max(1, int(per_a.max()) if per_a.size else 1)
+
+def _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock):
+    """NumPy fallback for the native symbolic phase. Returns the same
+    tuple as utils.native.gustavson_symbolic_native."""
+    gk, c_gn = a.gn, b.gn
+    acsc_ptr, acsc_perm = a.csc_view()
+    bptr = b.tptr.astype(np.int64)
+    cnt_a = np.diff(acsc_ptr).astype(np.int64)
+    cnt_b = np.diff(bptr)
+
+    pairs_per_k = cnt_a * cnt_b
+    total = int(pairs_per_k.sum())
+    if total == 0:
+        c_tptr = np.zeros(a.gm + 1, dtype=np.int32)
+        return (c_tptr, np.zeros(0, INDEX_DTYPE), np.zeros(0, INDEX_DTYPE),
+                np.full((a.nt + max_ablock) * max_b, 1, dtype=INDEX_DTYPE),
+                np.zeros(0, np.int64), 1, 0)
+    kk = np.repeat(np.arange(gk, dtype=np.int64), pairs_per_k)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(pairs_per_k) - pairs_per_k, pairs_per_k
+    )
+    x = off // cnt_b[kk]
+    y = off % cnt_b[kk]
+    ia = acsc_perm[acsc_ptr[kk] + x]
+    ckey = a.trow[ia].astype(np.int64) * c_gn + b.tcol[bptr[kk] + y]
+    ukey = np.unique(ckey)
+    nt_c = ukey.size
+    ctrow = (ukey // c_gn).astype(INDEX_DTYPE)
+    ctcol = (ukey % c_gn).astype(INDEX_DTYPE)
+
     c_tptr = np.zeros(a.gm + 1, dtype=np.int64)
-    np.cumsum(np.bincount(plan.ctrow, minlength=a.gm), out=c_tptr[1:])
-    per_c = np.diff(c_tptr[pts])
-    max_cblock = max(1, int(per_c.max()) if per_c.size else 1)
-    both = val_bytes + occ_bytes
-    return (2 * max_ablock * plan.tm * plan.tk * both
-            + 4 * plan.tk * plan.max_b * plan.tn * both
-            + 2 * (max_cblock + 1) * plan.tm * plan.tn * both)
-
-
-def choose_strip_block_rows(
-    a: TileMat, b: TileMat, plan: GustavsonPlan,
-    budget: int = 100 * 1024 * 1024, start: int = 32,
-    smem_budget: int = 512 * 1024,
-) -> int | None:
-    """Largest block_rows <= start whose VMEM scratch fits the budget, or
-    None if the kernel can't run (caller should fall back to the XLA slab
-    backend): even block_rows=1 over VMEM, or the scalar-prefetch arrays
-    (dominated by `slots`: (ntA+max_ablock)*max_b int32) over SMEM."""
-    # max_ablock <= ntA, so 2*ntA*max_b is a safe upper bound
-    if 2 * (a.nt + 1) * plan.max_b * 4 > smem_budget:
-        return None
-    br = start
-    while br >= 1:
-        if estimate_strip_vmem(a, b, plan, br) <= budget:
-            return br
-        br //= 2
-    return None
-
-
-def build_strip_args(
-    a: TileMat, b: TileMat, plan: GustavsonPlan, block_rows: int = 32,
-    occ_dtype=None,
-) -> StripArgs:
-    if occ_dtype is None:
-        # bfloat16 occupancy: exact 0/1 inputs, sign-safe >0 pattern test
-        import jax.numpy as _jnp
-        occ_dtype = _jnp.bfloat16
-    tm, tk = a.tm, a.tn
-    aptr64 = a.tptr.astype(np.int64)
-    block_starts = np.arange(0, a.gm + 1, block_rows)
-    if block_starts[-1] != a.gm:
-        block_starts = np.append(block_starts, a.gm)
-    per_block = np.diff(aptr64[np.minimum(block_starts, a.gm)])
-    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
-
-    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=plan.dtype)
-    a_val[: a.nt] = a.dense(plan.dtype)
-    a_occ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
-    a_occ[: a.nt] = a.occ().astype(occ_dtype)
-    ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
-    ak[: a.nt] = a.tcol
-
-    b_val = plan.b3_val
-    b_occ = plan.b3_occ.astype(occ_dtype)
-
-    # C tile-row pointer and per-block C ranges (block-padded layout)
-    c_tptr = np.zeros(a.gm + 1, dtype=np.int64)
-    crow_counts = np.bincount(plan.ctrow, minlength=a.gm)
-    np.cumsum(crow_counts, out=c_tptr[1:])
-    per_block_c = np.diff(c_tptr[np.minimum(block_starts, a.gm)])
+    np.cumsum(np.bincount(ctrow, minlength=a.gm), out=c_tptr[1:])
+    block_starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_block_c = np.diff(c_tptr[block_starts])
     max_cblock = max(1, int(per_block_c.max()) if per_block_c.size else 1)
 
-    # block-local C slot for every (A tile, y) pair; padded y ->
-    # max_cblock, the kernel's write-only garbage slot.
-    max_b = plan.max_b
-    cnt_b = np.diff(b.tptr).astype(np.int64)
-    jpos = np.zeros(plan.gk * max_b, dtype=np.int64)
-    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(
-        b.tptr[:-1].astype(np.int64), cnt_b
-    )
-    kb = np.repeat(np.arange(plan.gk, dtype=np.int64), cnt_b)
+    # block-local C slot per (A tile, y) pair; padded -> max_cblock
+    jpos = np.zeros(gk * max_b, dtype=np.int64)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
+    kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
     jpos[kb * max_b + rank_b] = b.tcol
 
     slots = np.full((a.nt + max_ablock) * max_b, max_cblock,
                     dtype=INDEX_DTYPE)
-    if a.nt and plan.nt_c:
-        ka = a.tcol.astype(np.int64)[:, None]               # (ntA, 1)
-        ys = np.arange(max_b, dtype=np.int64)[None, :]      # (1, max_b)
+    if a.nt:
+        ka = a.tcol.astype(np.int64)[:, None]
+        ys = np.arange(max_b, dtype=np.int64)[None, :]
         valid = ys < cnt_b[ka]
-        j = jpos[ka * max_b + ys]                            # (ntA, max_b)
+        j = jpos[ka * max_b + ys]
         rows = a.trow.astype(np.int64)[:, None]
-        ukey = plan.ctrow.astype(np.int64) * b.gn + plan.ctcol
-        g = np.searchsorted(ukey, rows * b.gn + j)
+        g = np.searchsorted(ukey, rows * c_gn + j)
         blk_of_row = rows // block_rows
         s = g - c_tptr[np.minimum(blk_of_row * block_rows, a.gm)]
         s[~valid] = max_cblock
         slots[: a.nt * max_b] = s.reshape(-1)
 
-    # candidate order -> position in the block-padded output
-    if plan.nt_c:
-        cblk = plan.ctrow.astype(np.int64) // block_rows
-        gather_idx = (
-            cblk * max_cblock
-            + np.arange(plan.nt_c, dtype=np.int64)
-            - c_tptr[np.minimum(cblk * block_rows, a.gm)]
+    cblk = ctrow.astype(np.int64) // block_rows
+    gather_idx = (
+        cblk * max_cblock
+        + np.arange(nt_c, dtype=np.int64)
+        - c_tptr[np.minimum(cblk * block_rows, a.gm)]
+    )
+    return c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c
+
+
+def build_strip_args(
+    a: TileMat, b: TileMat, block_rows: int = 32,
+    dtype=np.float32, occ_dtype=None,
+) -> StripArgs:
+    """Build the complete strip-kernel plan: one-time format prep (A
+    packing + stacked B slabs) and the per-run symbolic phase."""
+    if occ_dtype is None:
+        # bfloat16 occupancy: exact 0/1 inputs, sign-safe >0 pattern test
+        import jax.numpy as _jnp
+        occ_dtype = _jnp.bfloat16
+    if a.n != b.m:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    if a.tn != b.tm:
+        raise ValueError(
+            f"inner tile dims must match: A is {a.tm}x{a.tn}, B is {b.tm}x{b.tn}"
         )
-    else:
-        gather_idx = np.zeros(0, dtype=np.int64)
+    dtype = np.dtype(dtype)
+    tm, tk, tn = a.tm, a.tn, b.tn
+    gk = a.gn
+
+    # --- one-time prep: A packing + B slabs ---
+    t_prep = time.perf_counter()
+    aptr64 = a.tptr.astype(np.int64)
+    block_starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_block = np.diff(aptr64[block_starts])
+    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+
+    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=dtype)
+    a_val[: a.nt] = a.dense(dtype)
+    a_occ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
+    a_occ[: a.nt] = a.occ().astype(occ_dtype)
+    ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
+    ak[: a.nt] = a.tcol
+
+    bptr = b.tptr.astype(np.int64)
+    cnt_b = np.diff(bptr)
+    max_b = max(1, int(cnt_b.max()) if b.nt else 1)
+    b_val = np.zeros((gk * max_b, tk, tn), dtype=dtype)
+    b_occ = np.zeros((gk * max_b, tk, tn), dtype=occ_dtype)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
+    kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
+    slot_b = kb * max_b + rank_b
+    b_val[slot_b] = b.dense(dtype)
+    b_occ[slot_b] = b.occ().astype(occ_dtype)
+    b_val = b_val.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
+        gk, tk, max_b * tn)
+    b_occ = b_occ.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
+        gk, tk, max_b * tn)
+    prep_ms = (time.perf_counter() - t_prep) * 1e3
+
+    # --- per-run symbolic: C tile dictionary + per-pair slots ---
+    t_sym = time.perf_counter()
+    from spgemm_tpu.utils.native import gustavson_symbolic_native
+
+    sym = gustavson_symbolic_native(a, b, block_rows, max_b,
+                                    a.nt + max_ablock)
+    if sym is None:
+        sym = _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock)
+    c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c = sym
+    num_pairs = int(cnt_b[a.tcol].sum()) if a.nt else 0
+    symbolic_ms = (time.perf_counter() - t_sym) * 1e3
 
     return StripArgs(
         a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ,
         aptr=a.tptr.astype(INDEX_DTYPE), ak=ak,
         slots=slots, gather_idx=gather_idx,
-        gm=a.gm, gn_c=b.gn, max_ablock=max_ablock, max_cblock=max_cblock,
-        block_rows=block_rows,
+        ctrow=np.asarray(ctrow, dtype=INDEX_DTYPE),
+        ctcol=np.asarray(ctcol, dtype=INDEX_DTYPE),
+        nt_c=nt_c, num_pairs=num_pairs,
+        gm=a.gm, gn_c=b.gn, tm=tm, tk=tk, tn=tn, max_b=max_b,
+        max_ablock=max_ablock, max_cblock=max_cblock,
+        block_rows=block_rows, dtype=dtype,
+        prep_ms=prep_ms, symbolic_ms=symbolic_ms,
     )
 
 
 def strip_numeric(
     args: StripArgs,
-    plan: GustavsonPlan,
     *,
     acc_dtype=jnp.float32,
     interpret: bool | None = None,
@@ -398,21 +443,51 @@ def strip_numeric(
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    # VMEM scratch must fit: A double buffer + B cache + staging buffers
-    occ_elt = args.a_occ.dtype.itemsize
-    vmem = (2 * args.max_ablock * plan.tm * plan.tk * (4 + occ_elt)
-            + 4 * plan.tk * plan.max_b * plan.tn * (4 + occ_elt)
-            + 2 * (args.max_cblock + 1) * plan.tm * plan.tn * (4 + occ_elt))
-    if vmem > 100 * 1024 * 1024:
+    if args.vmem_bytes() > 100 * 1024 * 1024:
         raise ValueError(
-            f"strip kernel VMEM scratch ({vmem/1e6:.0f} MB) exceeds budget; "
-            "use the gustavson/xla backend or smaller block_rows"
+            f"strip kernel VMEM scratch ({args.vmem_bytes()/1e6:.0f} MB) "
+            "exceeds budget; use the gustavson/xla backend or smaller "
+            "block_rows"
         )
     c_val, c_cnt = gustavson_strip_pallas(
         *map(jnp.asarray, args.device_args()),
-        **args.kernel_kwargs(plan),
+        **args.kernel_kwargs(),
         acc_dtype=acc_dtype, interpret=interpret,
     )
     c_val = np.asarray(c_val)
     c_cnt = np.asarray(c_cnt, dtype=np.float32)
     return c_val[args.gather_idx], c_cnt[args.gather_idx]
+
+
+def estimate_strip_vmem(a: TileMat, b: TileMat, block_rows: int,
+                        ctrow: np.ndarray, max_b: int,
+                        val_bytes: int = 4, occ_bytes: int = 2) -> int:
+    """VMEM scratch bytes the strip kernel would need at this block_rows
+    (pointer math only — no slabs built)."""
+    starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_a = np.diff(a.tptr.astype(np.int64)[starts])
+    max_ablock = max(1, int(per_a.max()) if per_a.size else 1)
+    c_tptr = np.zeros(a.gm + 1, dtype=np.int64)
+    np.cumsum(np.bincount(ctrow, minlength=a.gm), out=c_tptr[1:])
+    per_c = np.diff(c_tptr[starts])
+    max_cblock = max(1, int(per_c.max()) if per_c.size else 1)
+    both = val_bytes + occ_bytes
+    return (2 * max_ablock * a.tm * a.tn * both
+            + 4 * a.tn * max_b * b.tn * both
+            + 2 * (max_cblock + 1) * a.tm * b.tn * both)
+
+
+def choose_strip_block_rows(
+    a: TileMat, b: TileMat, args: StripArgs,
+    budget: int = 100 * 1024 * 1024, start: int = 32,
+) -> int | None:
+    """Largest block_rows <= start whose VMEM scratch fits the budget, or
+    None if even block_rows=1 does not fit (caller should fall back to
+    the XLA slab backend)."""
+    br = start
+    while br >= 1:
+        if estimate_strip_vmem(a, b, br, args.ctrow, args.max_b) <= budget:
+            return br
+        br //= 2
+    return None

@@ -249,31 +249,36 @@ def _spgemm_gustavson(
     if note:
         backend_used = f"{backend_used}({note})"
 
-    t0 = time.perf_counter()
-    # the strip kernel packs A per tile-row itself — skip the A slabs
-    plan = build_gustavson_plan(a, b, dtype=np_dtype, a_slabs=not strip)
-    timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
-
+    sched = None
     if strip:
         from spgemm_tpu.ops.gustavson import choose_strip_block_rows
 
-        block_rows = choose_strip_block_rows(a, b, plan)
-        if block_rows is None:
-            # VMEM scratch would not fit at any block size (huge C rows
-            # or B slabs) — run the XLA slab path instead.
-            strip = False
-            backend_used = "gustavson(strip-fallback: VMEM budget)"
-            t0 = time.perf_counter()
-            plan = build_gustavson_plan(a, b, dtype=np_dtype)
-            timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
+        sargs = build_strip_args(a, b, dtype=np_dtype)
+        timings["prep_ms"] = sargs.prep_ms
+        timings["symbolic_ms"] = sargs.symbolic_ms
+        if sargs.vmem_bytes() > 100 * 1024 * 1024:
+            block_rows = choose_strip_block_rows(a, b, sargs)
+            if block_rows is None:
+                # VMEM scratch would not fit at any block size (huge C
+                # rows or B slabs) — run the XLA slab path instead.
+                strip = False
+                backend_used = "gustavson(strip-fallback: VMEM budget)"
+            else:
+                sargs = build_strip_args(a, b, block_rows=block_rows,
+                                         dtype=np_dtype)
+                timings["prep_ms"] = sargs.prep_ms
+                timings["symbolic_ms"] = sargs.symbolic_ms
+
+    if not strip:
+        t0 = time.perf_counter()
+        plan = build_gustavson_plan(a, b, dtype=np_dtype)
+        timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
 
     if strip:
-        t0 = time.perf_counter()
-        sargs = build_strip_args(a, b, plan, block_rows=block_rows)
-        timings["symbolic_ms"] += (time.perf_counter() - t0) * 1e3
+        sched = sargs
         t0 = time.perf_counter()
         # strip_numeric syncs internally (host gather from the padded layout)
-        c_val_d, c_cnt_d = strip_numeric(sargs, plan, acc_dtype=acc_dtype)
+        c_val_d, c_cnt_d = strip_numeric(sargs, acc_dtype=acc_dtype)
         timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
         timings["upload_ms"] = 0.0
     else:
@@ -296,23 +301,25 @@ def _spgemm_gustavson(
             jax.block_until_ready((c_val_d, c_cnt_d))
         timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
 
+    sched = sched if sched is not None else plan
     t0 = time.perf_counter()
     c = _compact_to_tilemat(
-        plan.ctrow, plan.ctcol,
+        sched.ctrow, sched.ctcol,
         np.asarray(c_val_d, dtype=np.float64), np.asarray(c_cnt_d),
         (a.m, b.n), a.tm, b.tn,
     )
     timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
 
     stats = {
-        "num_pairs": float(plan.num_pairs),
-        "numblkC_candidate": float(plan.nt_c),
+        "num_pairs": float(sched.num_pairs),
+        "numblkC_candidate": float(sched.nt_c),
         "numblkC": float(c.nt),
         "nnzC": float(c.nnz),
-        "padding_ratio": plan.padding_ratio(),
         "backend": backend_used,
     }
-    return SpGEMMResult(c=c, schedule=plan, timings_ms=timings, stats=stats)
+    if hasattr(sched, "padding_ratio"):
+        stats["padding_ratio"] = sched.padding_ratio()
+    return SpGEMMResult(c=c, schedule=sched, timings_ms=timings, stats=stats)
 
 
 def spgemm_csr(

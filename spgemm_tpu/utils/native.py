@@ -147,3 +147,59 @@ def tiles_to_csr_native(t):
         _ptr(indptr, I32), _ptr(indices, I32), _ptr(data, F64),
     )
     return CSR(indptr, indices, data, t.shape)
+
+
+I64 = ctypes.POINTER(ctypes.c_int64)
+
+
+def gustavson_symbolic_native(a, b, block_rows: int, max_b: int,
+                              nt_a_pad: int):
+    """Native symbolic phase for the strip SpGEMM kernel. Returns
+    (c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c) or None
+    if the library is unavailable.
+
+    slots is sized nt_a_pad*max_b and prefilled with max_cblock (the
+    kernel's garbage slot); only real (tile, y<cnt_b) pairs are written.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "gustavson_symbolic_count"):
+        return None
+    lib.gustavson_symbolic_count.restype = ctypes.c_int64
+
+    gm, gn_c = a.gm, b.gn
+    tptr_a = np.ascontiguousarray(a.tptr, dtype=np.int32)
+    tcol_a = np.ascontiguousarray(a.tcol, dtype=np.int32)
+    tptr_b = np.ascontiguousarray(b.tptr, dtype=np.int32)
+    tcol_b = np.ascontiguousarray(b.tcol, dtype=np.int32)
+
+    c_tptr = np.zeros(gm + 1, dtype=np.int32)
+    nt_c = int(lib.gustavson_symbolic_count(
+        _ptr(tptr_a, I32), _ptr(tcol_a, I32),
+        ctypes.c_int64(gm), ctypes.c_int64(gn_c),
+        _ptr(tptr_b, I32), _ptr(tcol_b, I32),
+        _ptr(c_tptr, I32),
+    ))
+
+    starts = np.minimum(
+        np.append(np.arange(0, gm, block_rows), gm), gm
+    ).astype(np.int64)
+    per_c = np.diff(c_tptr.astype(np.int64)[starts])
+    max_cblock = max(1, int(per_c.max()) if per_c.size else 1)
+
+    ctrow = np.zeros(nt_c, dtype=np.int32)
+    ctcol = np.zeros(nt_c, dtype=np.int32)
+    slots = np.full(nt_a_pad * max_b, max_cblock, dtype=np.int32)
+    gather_idx = np.zeros(nt_c, dtype=np.int64)
+    lib.gustavson_symbolic_fill(
+        _ptr(tptr_a, I32), _ptr(tcol_a, I32),
+        ctypes.c_int64(gm), ctypes.c_int64(gn_c),
+        _ptr(tptr_b, I32), _ptr(tcol_b, I32),
+        _ptr(c_tptr, I32),
+        ctypes.c_int64(block_rows), ctypes.c_int64(max_cblock),
+        ctypes.c_int64(max_b),
+        _ptr(ctrow, I32), _ptr(ctcol, I32), _ptr(slots, I32),
+        _ptr(gather_idx, I64),
+    )
+    return c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c

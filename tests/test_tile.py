@@ -123,3 +123,8 @@ def test_memory_model(make_random_csr):
     t = csr_to_tiles(a, 16, 16)
     assert t.total_bytes() == sum(t.memory_bytes().values())
     assert t.total_bytes() > 0
+
+
+def test_occ_matches_mask(make_random_csr):
+    at = csr_to_tiles(make_random_csr(70, 90, 0.1), 16, 16)
+    np.testing.assert_array_equal(at.occ(), at.occ_from_mask())

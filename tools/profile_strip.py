@@ -14,10 +14,7 @@ sys.path.insert(0, ".")
 import bench  # noqa: E402
 
 from spgemm_tpu.models.tile import csr_to_tiles  # noqa: E402
-from spgemm_tpu.ops.gustavson import (  # noqa: E402
-    build_gustavson_plan,
-    build_strip_args,
-)
+from spgemm_tpu.ops.gustavson import build_strip_args  # noqa: E402
 from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas  # noqa: E402
 
 LOOP = 20
@@ -26,11 +23,10 @@ LOOP = 20
 def run(a, tm, tn, block_rows):
     at = csr_to_tiles(a, tm, tn)
     bt = at if tm == tn else csr_to_tiles(a, tn, tn)
-    plan = build_gustavson_plan(at, bt)
-    sargs = build_strip_args(at, bt, plan, block_rows=block_rows)
+    sargs = build_strip_args(at, bt, block_rows=block_rows)
     dev = jax.device_put(sargs.device_args())
     jax.block_until_ready(dev)
-    kwargs = sargs.kernel_kwargs(plan)
+    kwargs = sargs.kernel_kwargs()
 
     @jax.jit
     def loop(av, *rest):
@@ -66,9 +62,9 @@ def run(a, tm, tn, block_rows):
     n_blocks = max(1, -(-sargs.gm // block_rows))
     a_mb = (sargs.a_val.nbytes + sargs.a_occ.nbytes) / 1e6
     b_mb = (sargs.b_val.nbytes + sargs.b_occ.nbytes) / 1e6
-    c_mb = n_blocks * sargs.max_cblock * 2 * tm * tn * 4 / 1e6
+    c_mb = n_blocks * sargs.max_cblock * tm * tn * 6 / 1e6
     print(f"tm={tm:3d} tn={tn:3d} br={block_rows:3d}: numeric={ms:6.2f} ms  "
-          f"ntA={at.nt} ntC={plan.nt_c} max_b={plan.max_b} "
+          f"ntA={at.nt} ntC={sargs.nt_c} max_b={sargs.max_b} "
           f"max_ablock={sargs.max_ablock} max_cblock={sargs.max_cblock} "
           f"A={a_mb:.0f}MB B={b_mb:.0f}MB C={c_mb:.0f}MB "
           f"gm={sargs.gm} blocks={n_blocks}")
