@@ -77,7 +77,8 @@ def _compact_to_tilemat(
     )
 
 
-def _resolve_backend(a: TileMat, b: TileMat, backend: str) -> tuple[str, str]:
+def _resolve_backend(a: TileMat, b: TileMat, backend: str,
+                     compute_dtype=jnp.float32) -> tuple[str, str]:
     """Pick a feasible Gustavson-family backend from cheap tile-pointer
     stats (no slabs built). Returns (backend, note).
 
@@ -96,9 +97,12 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str) -> tuple[str, str]:
     gk = a.gn
     tm, tk, tn = a.tm, a.tn, b.tn
 
-    aligned = (tn % 128 == 0 and tm % 8 == 0) or jax.default_backend() == "cpu"
+    on_cpu = jax.default_backend() == "cpu"
+    aligned = (tn % 128 == 0 and tm % 8 == 0) or on_cpu
+    f64 = jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
     strip_ok = (
         aligned
+        and (on_cpu or not f64)  # no f64 MXU path on hardware
         and 2 * (a.nt + 1) * max_b * 4 <= 512 * 1024          # slots in SMEM
         and 4 * tk * max_b * tn * 6 <= 64 * 1024 * 1024        # B cache VMEM
     )
@@ -158,7 +162,7 @@ def spgemm(
 
     note = ""
     if backend in ("auto", "strip", "gustavson"):
-        backend, note = _resolve_backend(a, b, backend)
+        backend, note = _resolve_backend(a, b, backend, compute_dtype)
 
     if backend in ("gustavson", "strip"):
         return _spgemm_gustavson(
@@ -275,10 +279,13 @@ def _spgemm_gustavson(
         timings["symbolic_ms"] = (time.perf_counter() - t0) * 1e3
 
     if strip:
+        from spgemm_tpu.utils.timing import device_trace
+
         sched = sargs
         t0 = time.perf_counter()
         # strip_numeric syncs internally (host gather from the padded layout)
-        c_val_d, c_cnt_d = strip_numeric(sargs, acc_dtype=acc_dtype)
+        with device_trace("spgemm-strip"):
+            c_val_d, c_cnt_d = strip_numeric(sargs, acc_dtype=acc_dtype)
         timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
         timings["upload_ms"] = 0.0
     else:

@@ -38,3 +38,23 @@ def best_of(fn, repeats: int = 3) -> tuple[float, object]:
         result = fn()
         best = min(best, (time.perf_counter() - t0) * 1e3)
     return best, result
+
+
+@contextlib.contextmanager
+def device_trace(label: str = "spgemm"):
+    """Optional XLA profiler capture: set SPGEMM_TPU_TRACE=<dir> to dump
+    a TensorBoard-readable trace of everything inside the context (the
+    framework's analogue of the reference's DEBUG/TIMING gates,
+    `src/common.h:72-104`; the reference has no vendor profiler hooks —
+    this improves on it)."""
+    import os
+
+    trace_dir = os.environ.get("SPGEMM_TPU_TRACE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        with jax.profiler.TraceAnnotation(label):
+            yield

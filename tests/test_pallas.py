@@ -72,3 +72,42 @@ def test_strip_backend_cancellation():
     got = res.c.to_csr()
     assert got.pattern_equal(ref)
     np.testing.assert_allclose(got.data, ref.data)
+
+
+def test_strip_multiblock_interpret(make_random_csr):
+    """Force many grid blocks (block_rows=2) so the double-buffered A
+    prefetch / C writeback and block-local slot logic are exercised."""
+    from spgemm_tpu.ops.gustavson import build_strip_args, strip_numeric
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    a = make_random_csr(96, 96, 0.08)
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    sargs = build_strip_args(at, bt, block_rows=2)
+    assert sargs.gm > 2 * 2  # really multi-block
+    c_val, c_cnt = strip_numeric(sargs, interpret=True)
+    c = _compact_to_tilemat(sargs.ctrow, sargs.ctcol, c_val, c_cnt,
+                            (96, 96), 8, 16)
+    ref = golden.spgemm_dense_row(a, a)
+    got = c.to_csr()
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
+
+
+def test_native_symbolic_matches_numpy(make_random_csr):
+    from spgemm_tpu.ops.gustavson import _numpy_strip_symbolic
+    from spgemm_tpu.utils.native import gustavson_symbolic_native
+
+    a = make_random_csr(128, 128, 0.06)
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    cnt_b = np.diff(bt.tptr)
+    max_b = max(1, int(cnt_b.max()))
+    nat = gustavson_symbolic_native(at, bt, 4, max_b, at.nt + 7)
+    if nat is None:
+        pytest.skip("native library unavailable")
+    ref = _numpy_strip_symbolic(at, bt, 4, max_b, 7)
+    for got, exp, name in zip(nat, ref, ("c_tptr", "ctrow", "ctcol",
+                                         "slots", "gather_idx",
+                                         "max_cblock", "nt_c")):
+        np.testing.assert_array_equal(got, exp, err_msg=name)
