@@ -1,0 +1,100 @@
+"""Device-resident SpGEMM executor: build once, run many.
+
+`spgemm()` is stateless — every call re-uploads operands, which is the
+right shape for one-shot use but wasteful for production serving loops
+(iterative solvers, repeated C = A·B with changing values on a fixed
+sparsity pattern). `StripExecutor` keeps the packed operands resident in
+HBM and re-dispatches only the fused numeric kernel, the exact analogue
+of the reference's REPEAT_NUM timing loop (`src/common.h:91`,
+`src/tilespgemm-cuda.h:2352`) where the uploaded tiled matrices stay on
+the GPU across repeats.
+
+`update_values(a)` repacks and re-uploads only A's value plane for
+workloads where the pattern is fixed and values change (the reference's
+step-4-only re-run, `tilespgemm-cuda.h:2649-2728`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgemm_tpu.models.tile import TileMat
+from spgemm_tpu.ops.gustavson import StripArgs, build_strip_args
+
+
+class StripExecutor:
+    """Resident-operand executor for the strip backend."""
+
+    def __init__(
+        self,
+        a: TileMat,
+        b: TileMat,
+        *,
+        block_rows: int = 32,
+        dtype=np.float32,
+        acc_dtype=jnp.float32,
+        interpret: bool | None = None,
+    ):
+        self.a_struct = (a.nt, a.tm, a.tn, a.nnz,
+                         int(np.bitwise_xor.reduce(a.rc.astype(np.int64)
+                                                   + 0x9E3779B9)))
+        self.shape = (a.m, b.n)
+        self.args: StripArgs = build_strip_args(
+            a, b, block_rows=block_rows, dtype=dtype
+        )
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self.acc_dtype = acc_dtype
+        self._dev = jax.device_put(self.args.device_args())
+        jax.block_until_ready(self._dev)
+
+    @property
+    def nt_c(self) -> int:
+        return self.args.nt_c
+
+    def run(self) -> tuple[jax.Array, jax.Array]:
+        """One numeric dispatch. Returns (c_val, c_cnt) device arrays in
+        the block-padded layout (see gustavson_strip_pallas)."""
+        from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
+
+        return gustavson_strip_pallas(
+            *self._dev,
+            **self.args.kernel_kwargs(),
+            acc_dtype=self.acc_dtype,
+            interpret=self.interpret,
+        )
+
+    def run_compact(self) -> TileMat:
+        """run() + host gather + compaction to a TileMat."""
+        from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+        c_val, c_cnt = self.run()
+        c_val = np.asarray(c_val)[self.args.gather_idx]
+        c_cnt = np.asarray(c_cnt, dtype=np.float32)[self.args.gather_idx]
+        return _compact_to_tilemat(
+            self.args.ctrow, self.args.ctcol, c_val, c_cnt,
+            self.shape, self.args.tm, self.args.tn,
+        )
+
+    def update_values(self, a: TileMat) -> None:
+        """Re-upload A's value plane for a new matrix with the SAME
+        sparsity structure (pattern-fixed iterative workloads)."""
+        struct = (a.nt, a.tm, a.tn, a.nnz,
+                  int(np.bitwise_xor.reduce(a.rc.astype(np.int64)
+                                            + 0x9E3779B9)))
+        if struct != self.a_struct:
+            raise ValueError(
+                "update_values requires the same tile structure "
+                f"(got nt={a.nt} nnz={a.nnz}, built with "
+                f"nt={self.a_struct[0]} nnz={self.a_struct[3]})"
+            )
+        a_val = np.zeros_like(self.args.a_val)
+        a_val[: a.nt] = a.dense(self.args.dtype)
+        self.args.a_val = a_val
+        dev = list(self._dev)
+        dev[0] = jax.device_put(jnp.asarray(a_val))
+        jax.block_until_ready(dev[0])
+        self._dev = tuple(dev)
