@@ -362,3 +362,174 @@ def spgemm_sharded(
         plan.ctrow, plan.ctcol, keep_val, keep_cnt,
         (a.m, b.n), a.tm, b.tn,
     )
+
+
+# --- Distributed strip path (Pallas kernel under shard_map) ----------------
+
+
+@dataclasses.dataclass
+class StripDistPlan:
+    ndev: int
+    blocks_max: int      # grid blocks per device (padded)
+    gm_max: int          # tile-rows per device (padded)
+    blk_lo: np.ndarray   # (D,) first block owned by each device
+    # per-device stacked operands (mesh axis 0)
+    a_val: np.ndarray
+    a_occ: np.ndarray
+    b_val: np.ndarray    # sharded over k; all-gathered on device
+    b_occ: np.ndarray
+    aptr: np.ndarray
+    ak: np.ndarray
+    slots: np.ndarray
+    args: "object"       # the global StripArgs (symbolic results)
+
+
+def plan_strip_partition(
+    a: TileMat, b: TileMat, ndev: int, *, block_rows: int = 32,
+    dtype=np.float32,
+) -> StripDistPlan:
+    """Build ONE global strip plan, then slice it per device along block
+    boundaries (pair-count balanced). B slabs are sharded over k and
+    all-gathered over ICI at run time."""
+    from spgemm_tpu.ops.gustavson import build_strip_args
+
+    args = build_strip_args(a, b, block_rows=block_rows, dtype=dtype)
+    n_blocks = max(1, cdiv(args.gm, block_rows))
+
+    # pairs per block -> contiguous block ranges with ~equal pairs
+    bptr = b.tptr.astype(np.int64)
+    pair_per_tile = bptr[a.tcol.astype(np.int64) + 1] - bptr[a.tcol]
+    pairs_per_row = np.zeros(args.gm, dtype=np.int64)
+    np.add.at(pairs_per_row, a.trow, pair_per_tile)
+    pairs_per_block = np.add.reduceat(
+        pairs_per_row, np.arange(0, args.gm, block_rows)
+    ) if args.gm else np.zeros(1, np.int64)
+    cum = np.cumsum(pairs_per_block)
+    total = int(cum[-1]) if cum.size else 0
+    bounds = np.searchsorted(cum, np.arange(1, ndev) * (total / ndev))
+    blk_lo = np.concatenate([[0], bounds + 1]) if ndev > 1 else np.array([0])
+    blk_hi = np.concatenate([bounds + 1, [n_blocks]]) if ndev > 1 \
+        else np.array([n_blocks])
+    blk_lo = np.minimum(blk_lo, n_blocks)
+    blk_hi = np.minimum(np.maximum(blk_hi, blk_lo), n_blocks)
+
+    blocks_max = max(1, int((blk_hi - blk_lo).max()))
+    gm_max = blocks_max * block_rows
+    aptr64 = args.aptr.astype(np.int64)
+    row_lo = np.minimum(blk_lo * block_rows, args.gm)
+    row_hi = np.minimum(blk_hi * block_rows, args.gm)
+    a_lo, a_hi = aptr64[row_lo], aptr64[row_hi]
+    nt_max = max(1, int((a_hi - a_lo).max()))
+    nt_pad = nt_max + args.max_ablock
+
+    tm, tk = args.tm, args.tk
+    a_val = np.zeros((ndev, nt_pad, tm, tk), dtype=args.a_val.dtype)
+    a_occ = np.zeros((ndev, nt_pad, tm, tk), dtype=args.a_occ.dtype)
+    aptr = np.zeros((ndev, gm_max + 1), dtype=np.int32)
+    ak = np.zeros((ndev, nt_pad), dtype=np.int32)
+    slots = np.full((ndev, nt_pad * args.max_b), args.max_cblock,
+                    dtype=np.int32)
+    for d in range(ndev):
+        n = int(a_hi[d] - a_lo[d])
+        a_val[d, :n] = args.a_val[a_lo[d] : a_hi[d]]
+        a_occ[d, :n] = args.a_occ[a_lo[d] : a_hi[d]]
+        ak[d, :n] = args.ak[a_lo[d] : a_hi[d]]
+        nrows = int(row_hi[d] - row_lo[d])
+        aptr[d, : nrows + 1] = (aptr64[row_lo[d] : row_hi[d] + 1]
+                                - a_lo[d]).astype(np.int32)
+        aptr[d, nrows + 1 :] = aptr[d, nrows]
+        mb = args.max_b
+        slots[d, : n * mb] = args.slots[a_lo[d] * mb : a_hi[d] * mb]
+
+    # B slabs sharded over k (padded to a D multiple)
+    gk = args.b_val.shape[0]
+    gk_shard = cdiv(gk, ndev)
+    bsh = args.b_val.shape[1:]
+    b_val = np.zeros((ndev, gk_shard) + bsh, dtype=args.b_val.dtype)
+    b_occ = np.zeros((ndev, gk_shard) + bsh, dtype=args.b_occ.dtype)
+    flat_v = np.zeros((gk_shard * ndev,) + bsh, dtype=args.b_val.dtype)
+    flat_o = np.zeros((gk_shard * ndev,) + bsh, dtype=args.b_occ.dtype)
+    flat_v[:gk] = args.b_val
+    flat_o[:gk] = args.b_occ
+    for d in range(ndev):
+        b_val[d] = flat_v[d * gk_shard : (d + 1) * gk_shard]
+        b_occ[d] = flat_o[d * gk_shard : (d + 1) * gk_shard]
+
+    return StripDistPlan(
+        ndev=ndev, blocks_max=blocks_max, gm_max=gm_max, blk_lo=blk_lo,
+        a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ,
+        aptr=aptr, ak=ak, slots=slots, args=args,
+    )
+
+
+def spgemm_sharded_strip(
+    a: TileMat,
+    b: TileMat,
+    mesh: Mesh,
+    *,
+    block_rows: int = 32,
+    acc_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> TileMat:
+    """Distributed C = A @ B running the production Pallas strip kernel
+    per shard: A blocks partitioned per device, B slabs all-gathered over
+    ICI inside the shard_map body, C owner-computed in the block-padded
+    layout (SURVEY.md §2.7's north-star decomposition)."""
+    from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    ndev = mesh.devices.size
+    plan = plan_strip_partition(a, b, ndev, block_rows=block_rows)
+    args = plan.args
+    gk = args.b_val.shape[0]
+
+    kernel_kwargs = dict(
+        gm=plan.gm_max, max_b=args.max_b, max_ablock=args.max_ablock,
+        max_cblock=args.max_cblock, block_rows=block_rows,
+        acc_dtype=acc_dtype, interpret=interpret,
+    )
+
+    def device_fn(av, ao, bv, bo, aptr, ak, slots):
+        bv_g = jax.lax.all_gather(bv[0], "x", axis=0, tiled=True)[:gk]
+        bo_g = jax.lax.all_gather(bo[0], "x", axis=0, tiled=True)[:gk]
+        cv, cc = gustavson_strip_pallas(
+            av[0], ao[0], bv_g, bo_g, aptr[0], ak[0], slots[0],
+            **kernel_kwargs,
+        )
+        return cv[None], cc[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P("x"),) * 7,
+            out_specs=(P("x"), P("x")),
+            check_vma=False,
+        )
+    )
+    c_val_d, c_cnt_d = fn(
+        jnp.asarray(plan.a_val), jnp.asarray(plan.a_occ),
+        jnp.asarray(plan.b_val), jnp.asarray(plan.b_occ),
+        jnp.asarray(plan.aptr), jnp.asarray(plan.ak),
+        jnp.asarray(plan.slots),
+    )
+    # reassemble: candidate q lives on device d(q) at its block-padded
+    # position rebased to that device's first block
+    c_val = np.asarray(c_val_d)
+    c_cnt = np.asarray(c_cnt_d, dtype=np.float32)
+    if args.nt_c:
+        cblk = args.ctrow.astype(np.int64) // block_rows
+        dev_of = np.searchsorted(plan.blk_lo, cblk, side="right") - 1
+        pos = args.gather_idx - plan.blk_lo[dev_of] * args.max_cblock
+        keep_val = c_val[dev_of, pos]
+        keep_cnt = c_cnt[dev_of, pos]
+    else:
+        keep_val = np.zeros((0, args.tm, args.tn))
+        keep_cnt = np.zeros((0, args.tm, args.tn), np.float32)
+
+    return _compact_to_tilemat(
+        args.ctrow, args.ctcol, keep_val.astype(np.float64), keep_cnt,
+        (a.m, b.n), args.tm, args.tn,
+    )

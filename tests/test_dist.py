@@ -80,3 +80,17 @@ def test_sharded_gustavson_wide_tiles(make_random_csr):
     got = tiles_to_csr(c)
     assert got.pattern_equal(ref)
     np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
+
+
+def test_sharded_strip_matches_golden(make_random_csr):
+    from spgemm_tpu.parallel.dist import make_mesh, spgemm_sharded_strip
+
+    a = make_random_csr(96, 96, 0.07)
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    mesh = make_mesh(4)
+    c = spgemm_sharded_strip(at, bt, mesh, block_rows=2)
+    ref = golden.spgemm_dense_row(a, a)
+    got = tiles_to_csr(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
