@@ -196,7 +196,7 @@ def pair_accumulate_pallas(
 # SURVEY.md §2.3 ⚠).
 # ---------------------------------------------------------------------------
 
-B_CACHE_SLOTS = 4
+B_CACHE_SLOTS = 8
 
 
 def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
@@ -223,6 +223,7 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
         ov_sc,       # VMEM (2, max_cblock+1, tm, tn) double-buffered C vals
         oo_sc,       # VMEM (2, max_cblock+1, tm, tn) C counts
         b_tags,      # SMEM (B_CACHE_SLOTS,) cached k per slot (-1 empty)
+        b_live,      # SMEM (B_CACHE_SLOTS,) 1 while a copy is in flight
         av_sem,      # DMA sems (2,)
         ao_sem,      # DMA sems (2,)
         b_sem,       # DMA sems (B_CACHE_SLOTS, 2)
@@ -257,6 +258,7 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
         def _():
             for sslot in range(B_CACHE_SLOTS):
                 b_tags[sslot] = -1
+                b_live[sslot] = 0
             for d in a_dmas(0, 0):
                 d.start()
 
@@ -278,21 +280,56 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
         ov_sc[buf] = jnp.zeros_like(ov_sc[buf])
         oo_sc[buf] = jnp.zeros_like(oo_sc[buf])
 
-        def fetch_b(k):
-            """Direct-mapped cache lookup; returns the slot holding k."""
+        def b_copies(k, slot):
+            return (
+                pltpu.make_async_copy(
+                    bv_ref.at[k], bv_sc.at[slot], b_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    bo_ref.at[k], bo_sc.at[slot], b_sem.at[slot, 1]),
+            )
+
+        def start_fetch(k, avoid_slot):
+            """Begin an async fetch of slab k unless cached; never evicts
+            `avoid_slot` (the slab the current iteration reads) or a slot
+            with a copy still in flight."""
             slot = jax.lax.rem(k, jnp.int32(B_CACHE_SLOTS))
+
+            @pl.when((b_tags[slot] != k) & (slot != avoid_slot)
+                     & (b_live[slot] == 0))
+            def _():
+                for d in b_copies(k, slot):
+                    d.start()
+                b_tags[slot] = k
+                b_live[slot] = 1  # in flight
+
+            return slot
+
+        def ensure_b(k):
+            """Return the slot holding k, synchronously fetching on miss
+            and draining an in-flight prefetch on hit."""
+            slot = jax.lax.rem(k, jnp.int32(B_CACHE_SLOTS))
+
+            # a stale prefetch may still be writing this slot: drain it
+            # before starting a replacement copy (copy sizes are constant,
+            # so the wait descriptor does not depend on which k it was)
+            @pl.when((b_tags[slot] != k) & (b_live[slot] == 1))
+            def _():
+                for d in b_copies(k, slot):
+                    d.wait()
+                b_live[slot] = 0
 
             @pl.when(b_tags[slot] != k)
             def _():
-                dv = pltpu.make_async_copy(
-                    bv_ref.at[k], bv_sc.at[slot], b_sem.at[slot, 0])
-                do = pltpu.make_async_copy(
-                    bo_ref.at[k], bo_sc.at[slot], b_sem.at[slot, 1])
-                dv.start()
-                do.start()
-                dv.wait()
-                do.wait()
+                for d in b_copies(k, slot):
+                    d.start()
                 b_tags[slot] = k
+                b_live[slot] = 1
+
+            @pl.when(b_live[slot] == 1)
+            def _():
+                for d in b_copies(k, slot):
+                    d.wait()
+                b_live[slot] = 0
 
             return slot
 
@@ -302,7 +339,10 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
 
         def t_body(g, _):
             k = ak_ref[g]
-            slot = fetch_b(k)
+            slot = ensure_b(k)
+            # overlap the next tile's B slab with this tile's compute
+            # (ak is padded past ntA, so reading g+1 is always safe)
+            start_fetch(ak_ref[g + 1], slot)
             la = g - a_lo
             prod_v = jnp.dot(
                 av_sc[buf, la], bv_sc[slot],
@@ -325,7 +365,7 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
         for d in out_dmas(blk, buf):
             d.start()
 
-        # drain both in-flight writebacks at the end of the grid
+        # drain in-flight writebacks and B prefetches at the end of the grid
         @pl.when(blk == n_blocks - 1)
         def _():
             @pl.when(blk >= 1)
@@ -335,6 +375,13 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
 
             for d in out_dmas(blk, buf):
                 d.wait()
+
+            for sslot in range(B_CACHE_SLOTS):
+                @pl.when(b_live[sslot] == 1)
+                def _(sslot=sslot):
+                    for d in b_copies(b_tags[sslot], sslot):
+                        d.wait()
+                    b_live[sslot] = 0
 
     return kernel
 
@@ -388,6 +435,7 @@ def gustavson_strip_pallas(
             pltpu.VMEM((B_CACHE_SLOTS, tk, max_b * tn), occ_dtype),
             pltpu.VMEM((2, max_cblock + 1, tm, tn), acc_dtype),
             pltpu.VMEM((2, max_cblock + 1, tm, tn), occ_dtype),
+            pltpu.SMEM((B_CACHE_SLOTS,), jnp.int32),
             pltpu.SMEM((B_CACHE_SLOTS,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
