@@ -27,8 +27,10 @@ reference component (file:line under /root/reference) it replaces.
 
 from spgemm_tpu.models.csr import CSR
 from spgemm_tpu.models.tile import TileMat, csr_to_tiles, tiles_to_csr
-from spgemm_tpu.ops.spgemm import spgemm, SpGEMMResult
+from spgemm_tpu.ops.spgemm import spgemm, spgemm_csr, SpGEMMResult
+from spgemm_tpu.ops.executor import StripExecutor
 from spgemm_tpu.io.mmio import read_mtx, write_mtx
+from spgemm_tpu.io import checkpoint
 
 __version__ = "0.1.0"
 
@@ -38,8 +40,11 @@ __all__ = [
     "csr_to_tiles",
     "tiles_to_csr",
     "spgemm",
+    "spgemm_csr",
     "SpGEMMResult",
+    "StripExecutor",
     "read_mtx",
     "write_mtx",
+    "checkpoint",
     "__version__",
 ]
