@@ -38,17 +38,15 @@ TN = int(os.environ.get("BENCH_TN", 128))
 BLOCK_ROWS = int(os.environ.get("BENCH_BLOCK_ROWS", 32))
 BASELINE_GFLOPS = 52.63
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "benchdata", f"cantlike_{ROWS}_{BAND}.npz")
-
-
 def make_cantlike(rows: int, band: int):
     """Deterministic banded matrix: ~half the +-band entries kept via a
     hash, ~(band+0.5) nnz/row."""
     from spgemm_tpu.models.csr import CSR
 
-    if os.path.exists(CACHE):
-        z = np.load(CACHE)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "benchdata", f"cantlike_{rows}_{band}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
         return CSR(z["indptr"], z["indices"], z["data"], (rows, rows))
     offs = np.arange(-band, band + 1, dtype=np.int64)
     r = np.repeat(np.arange(rows, dtype=np.int64), offs.size)
@@ -58,8 +56,8 @@ def make_cantlike(rows: int, band: int):
     r, c = r[keep], c[keep]
     vals = ((r * 7 + c * 13) % 9 + 1).astype(np.float64)
     csr = CSR.from_coo(r, c, vals, (rows, rows))
-    os.makedirs(os.path.dirname(CACHE), exist_ok=True)
-    np.savez(CACHE, indptr=csr.indptr, indices=csr.indices, data=csr.data)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    np.savez(cache, indptr=csr.indptr, indices=csr.indices, data=csr.data)
     return csr
 
 

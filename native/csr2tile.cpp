@@ -301,4 +301,54 @@ void gustavson_symbolic_fill(
   }
 }
 
+// -------------------------------------------------------------------------
+// Device-operand packing for the strip kernel (the framework's analogue
+// of the reference's H2D staging, `src/tilespgemm-cuda.h:2255-2324`):
+// dense per-tile value blocks (f32) and occupancy blocks (bfloat16 bit
+// pattern 0x3F80 = 1.0f, written as uint16).
+// -------------------------------------------------------------------------
+
+// A-side: (nt, tm*tn) dense blocks in tile order. Caller passes zeroed
+// buffers (padding rows beyond nt stay zero).
+void pack_tiles_dense(
+    const int32_t* tnnz_ptr, const int32_t* rc, const double* val,
+    int64_t nt, int64_t tile_elems,
+    float* out_val, uint16_t* out_occ) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int64_t t = 0; t < nt; ++t) {
+    float* dv = out_val + t * tile_elems;
+    uint16_t* doq = out_occ + t * tile_elems;
+    for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
+      dv[rc[p]] = (float)val[p];
+      doq[rc[p]] = 0x3F80;  // bfloat16 1.0
+    }
+  }
+}
+
+// B-side: stacked k-slabs (gk, tk, max_b*tn); tile y of row k lands at
+// column offset y*tn. Caller passes zeroed buffers.
+void pack_b_slabs(
+    const int32_t* tptr /* gk+1 */, const int32_t* tnnz_ptr,
+    const int32_t* rc, const double* val,
+    int64_t gk, int64_t tk, int64_t tn, int64_t max_b,
+    float* out_val, uint16_t* out_occ) {
+  const int64_t width = max_b * tn;
+#pragma omp parallel for schedule(dynamic, 16)
+  for (int64_t k = 0; k < gk; ++k) {
+    float* dv = out_val + k * tk * width;
+    uint16_t* doq = out_occ + k * tk * width;
+    const int32_t nb = tptr[k + 1] - tptr[k];
+    for (int32_t y = 0; y < nb && y < (int32_t)max_b; ++y) {
+      const int32_t t = tptr[k] + y;
+      const int64_t c0 = (int64_t)y * tn;
+      for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
+        const int64_t r = rc[p] / tn;
+        const int64_t c = rc[p] % tn;
+        dv[r * width + c0 + c] = (float)val[p];
+        doq[r * width + c0 + c] = 0x3F80;
+      }
+    }
+  }
+}
+
 }  // extern "C"

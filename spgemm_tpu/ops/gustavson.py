@@ -382,27 +382,38 @@ def build_strip_args(
     per_block = np.diff(aptr64[block_starts])
     max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
 
-    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=dtype)
-    a_val[: a.nt] = a.dense(dtype)
-    a_occ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
-    a_occ[: a.nt] = a.occ().astype(occ_dtype)
     ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
     ak[: a.nt] = a.tcol
 
     bptr = b.tptr.astype(np.int64)
     cnt_b = np.diff(bptr)
     max_b = max(1, int(cnt_b.max()) if b.nt else 1)
-    b_val = np.zeros((gk * max_b, tk, tn), dtype=dtype)
-    b_occ = np.zeros((gk * max_b, tk, tn), dtype=occ_dtype)
-    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
-    kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
-    slot_b = kb * max_b + rank_b
-    b_val[slot_b] = b.dense(dtype)
-    b_occ[slot_b] = b.occ().astype(occ_dtype)
-    b_val = b_val.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
-        gk, tk, max_b * tn)
-    b_occ = b_occ.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
-        gk, tk, max_b * tn)
+
+    import jax.numpy as _jnp
+
+    packed = None
+    if dtype == np.float32 and occ_dtype == _jnp.bfloat16:
+        from spgemm_tpu.utils.native import pack_strip_operands_native
+
+        packed = pack_strip_operands_native(a, b, max_ablock, max_b)
+    if packed is not None:
+        a_val, a_occ, b_val, b_occ = packed
+    else:
+        a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=dtype)
+        a_val[: a.nt] = a.dense(dtype)
+        a_occ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
+        a_occ[: a.nt] = a.occ().astype(occ_dtype)
+        b_val = np.zeros((gk * max_b, tk, tn), dtype=dtype)
+        b_occ = np.zeros((gk * max_b, tk, tn), dtype=occ_dtype)
+        rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
+        kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
+        slot_b = kb * max_b + rank_b
+        b_val[slot_b] = b.dense(dtype)
+        b_occ[slot_b] = b.occ().astype(occ_dtype)
+        b_val = b_val.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
+            gk, tk, max_b * tn)
+        b_occ = b_occ.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
+            gk, tk, max_b * tn)
     prep_ms = (time.perf_counter() - t_prep) * 1e3
 
     # --- per-run symbolic: C tile dictionary + per-pair slots ---

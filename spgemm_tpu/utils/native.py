@@ -91,6 +91,14 @@ def csr_to_tiles_native(csr, tm: int, tn: int):
     indptr = np.ascontiguousarray(csr.indptr, dtype=np.int32)
     indices = np.ascontiguousarray(csr.indices, dtype=np.int32)
     data = np.ascontiguousarray(csr.data, dtype=np.float64)
+    # the C code trusts these invariants — a malformed CSR would read out
+    # of bounds, so validate at the ctypes boundary
+    if indptr.size != m + 1 or int(indptr[-1]) != indices.size \
+            or indices.size != data.size:
+        raise ValueError(
+            f"malformed CSR: indptr has {indptr.size} entries for m={m}, "
+            f"indptr[-1]={int(indptr[-1])}, nnz={indices.size}"
+        )
 
     tptr = np.zeros(gm + 1, dtype=np.int32)
     nt = int(lib.csr2tile_count(
@@ -203,3 +211,51 @@ def gustavson_symbolic_native(a, b, block_rows: int, max_b: int,
         _ptr(gather_idx, I64),
     )
     return c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c
+
+
+U16 = ctypes.POINTER(ctypes.c_uint16)
+F32 = ctypes.POINTER(ctypes.c_float)
+
+
+def pack_strip_operands_native(a, b, max_ablock: int, max_b: int):
+    """Native packing of the strip kernel's device operands: A dense
+    blocks (f32 + bf16 occupancy) and stacked B slabs. Returns
+    (a_val, a_occ, b_val, b_occ) or None if unavailable.
+
+    Occupancy buffers are uint16 carrying the bfloat16 bit pattern of
+    1.0 (0x3F80) and are reinterpreted via .view(bfloat16) by the
+    caller's dtype machinery."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_tiles_dense"):
+        return None
+    import jax.numpy as _jnp
+
+    tm, tk, tn = a.tm, a.tn, b.tn
+    tnnz_a = np.ascontiguousarray(a.tnnz_ptr, dtype=np.int32)
+    rc_a = np.ascontiguousarray(a.rc, dtype=np.int32)
+    val_a = np.ascontiguousarray(a.val, dtype=np.float64)
+
+    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=np.float32)
+    a_occ16 = np.zeros((a.nt + max_ablock, tm, tk), dtype=np.uint16)
+    lib.pack_tiles_dense(
+        _ptr(tnnz_a, I32), _ptr(rc_a, I32), _ptr(val_a, F64),
+        ctypes.c_int64(a.nt), ctypes.c_int64(tm * tk),
+        _ptr(a_val, F32), _ptr(a_occ16, U16),
+    )
+
+    tptr_b = np.ascontiguousarray(b.tptr, dtype=np.int32)
+    tnnz_b = np.ascontiguousarray(b.tnnz_ptr, dtype=np.int32)
+    rc_b = np.ascontiguousarray(b.rc, dtype=np.int32)
+    val_b = np.ascontiguousarray(b.val, dtype=np.float64)
+    gk = b.gm
+    b_val = np.zeros((gk, tk, max_b * tn), dtype=np.float32)
+    b_occ16 = np.zeros((gk, tk, max_b * tn), dtype=np.uint16)
+    lib.pack_b_slabs(
+        _ptr(tptr_b, I32), _ptr(tnnz_b, I32), _ptr(rc_b, I32),
+        _ptr(val_b, F64),
+        ctypes.c_int64(gk), ctypes.c_int64(tk), ctypes.c_int64(tn),
+        ctypes.c_int64(max_b),
+        _ptr(b_val, F32), _ptr(b_occ16, U16),
+    )
+    bf16 = _jnp.bfloat16
+    return (a_val, a_occ16.view(bf16), b_val, b_occ16.view(bf16))
