@@ -1,17 +1,19 @@
-"""Pallas TPU kernels: fused tile-pair product accumulation.
+"""Pallas TPU kernels for the SpGEMM numeric phase and SpMM.
 
-The fast path for the numeric phase. Where the XLA path
-(ops/numeric.py) materializes gathered (chunk, tm, tk) pair blocks in
-HBM, this kernel runs one grid program per C tile, streams that tile's
-matched (A, B) tile pairs HBM -> VMEM with double-buffered async DMA, and
-accumulates values and structural counts in the C tile's private VMEM
-output block — the TPU equivalent of the reference's step-4 kernels
-(`src/tilespgemm-cuda.h:1273-2218`) with a dense accumulator per tile and
-*no shared scratch* (the reference fork's race, SURVEY.md 2.3, cannot
-occur: each grid program owns its output block).
+Three kernels live here:
+  * gustavson_strip_pallas — the production SpGEMM numeric path (see the
+    block comment above it): MXU slab products accumulated in VMEM with
+    double-buffered DMA and a block-padded writeback layout.
+  * spmm_strip_pallas — Y = A @ X with X resident in VMEM.
+  * pair_accumulate_pallas — the historical per-C-tile pair kernel
+    (interpret-mode only on hardware: its per-pair tiny-tile DMAs violate
+    Mosaic's 128-aligned minor-dim rule); kept as a CPU diagnostic.
 
-Values and occupancy are packed as (nt, 2, tm, tn) so each side needs a
-single DMA per pair.
+All are TPU re-designs of the reference's step-4 CUDA kernels
+(`src/tilespgemm-cuda.h:1273-2218`): dense VMEM accumulators and MXU
+matmuls instead of warp-level sparse accumulators — and none of the
+fork's shared-scratch race (SURVEY.md §2.3 ⚠), since every grid program
+owns its output range by construction.
 """
 
 from __future__ import annotations

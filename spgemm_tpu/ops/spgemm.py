@@ -77,6 +77,37 @@ def _compact_to_tilemat(
     )
 
 
+def _verify_against(sched, c_val, c_cnt, ref) -> None:
+    """SPGEMM_TPU_SELFCHECK=1: compare a strip-backend result against the
+    independently-scheduled XLA pair backend; raises on mismatch."""
+    got_pat = np.asarray(c_cnt, dtype=np.float32) > 0
+    ref_sched = ref.schedule
+    # both candidate lists are sorted (row, col); align by key
+    key_a = sched.ctrow.astype(np.int64) * (2**32) + sched.ctcol
+    key_b = ref_sched.ctrow.astype(np.int64) * (2**32) + ref_sched.ctcol
+    # ref may have fewer candidates (no k-padding); every ref candidate
+    # must exist here
+    pos = np.searchsorted(key_a, key_b)
+    if not np.array_equal(key_a[pos], key_b):
+        raise AssertionError("selfcheck: C tile dictionaries disagree")
+    ref_c = ref.c
+    got_val = np.asarray(c_val)[pos]
+    # compare via dense reconstruction of both tile sets
+    from spgemm_tpu.models.tile import TileMat  # noqa: F401
+
+    ref_dense = ref_c.to_csr().to_dense()
+    gm_tm = got_val.shape[1]
+    # reconstruct got: scatter candidate tiles
+    got_dense = np.zeros(ref_dense.shape)
+    tn = got_val.shape[2]
+    for i, (r, cc) in enumerate(zip(ref_sched.ctrow, ref_sched.ctcol)):
+        r0, c0 = r * gm_tm, cc * tn
+        blk = got_val[i][: ref_dense.shape[0] - r0, : ref_dense.shape[1] - c0]
+        got_dense[r0 : r0 + blk.shape[0], c0 : c0 + blk.shape[1]] = blk
+    if not np.allclose(got_dense, ref_dense, rtol=1e-4, atol=1e-6):
+        raise AssertionError("selfcheck: strip values diverge from XLA pair backend")
+
+
 def _resolve_backend(a: TileMat, b: TileMat, backend: str,
                      compute_dtype=jnp.float32) -> tuple[str, str]:
     """Pick a feasible Gustavson-family backend from cheap tile-pointer
@@ -309,6 +340,17 @@ def _spgemm_gustavson(
         timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
 
     sched = sched if sched is not None else plan
+
+    # cross-backend self-check (the framework's answer to the reference's
+    # missing race detection, SURVEY.md §5): re-run through the XLA pair
+    # backend and compare accumulators bit-for-bit-ish.
+    import os as _os
+
+    if strip and _os.environ.get("SPGEMM_TPU_SELFCHECK") == "1":
+        ref = spgemm(a, b, compute_dtype=compute_dtype,
+                     acc_dtype=acc_dtype, backend="xla", sync=True)
+        _verify_against(sched, c_val_d, c_cnt_d, ref)
+
     t0 = time.perf_counter()
     c = _compact_to_tilemat(
         sched.ctrow, sched.ctcol,

@@ -123,3 +123,11 @@ def test_auto_backend(make_random_csr):
     c, res = spgemm_csr(a, backend="auto")
     ref = golden.spgemm_scipy(a, a)
     assert golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-6)
+
+
+def test_selfcheck_mode(make_random_csr, monkeypatch):
+    monkeypatch.setenv("SPGEMM_TPU_SELFCHECK", "1")
+    a = make_random_csr(80, 80, 0.06)
+    c, res = spgemm_csr(a, backend="strip")
+    ref = golden.spgemm_scipy(a, a)
+    assert golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-6)
