@@ -87,11 +87,15 @@ def main():
           f"pairs={sargs.num_pairs} ntC={sargs.nt_c}", file=sys.stderr)
 
     # re-measure per-run symbolic cost (host: C tile dictionary + slot
-    # table, the strip kernel's steps 1-2 analogue), best of REPEATS
+    # table, the strip kernel's steps 1-2 analogue), best of REPEATS —
+    # symbolic phase only, operand packing is one-time prep
+    from spgemm_tpu.ops.gustavson import run_strip_symbolic
+
     sym_best = sargs.symbolic_ms
     for _ in range(REPEATS):
-        s2 = build_strip_args(at, bt, block_rows=BLOCK_ROWS)
-        sym_best = min(sym_best, s2.symbolic_ms)
+        t0 = time.perf_counter()
+        run_strip_symbolic(at, bt, BLOCK_ROWS, sargs.max_b, sargs.max_ablock)
+        sym_best = min(sym_best, (time.perf_counter() - t0) * 1e3)
 
     dev = jax.device_put(sargs.device_args())
     jax.block_until_ready(dev)

@@ -37,9 +37,8 @@ class StripExecutor:
         acc_dtype=jnp.float32,
         interpret: bool | None = None,
     ):
-        self.a_struct = (a.nt, a.tm, a.tn, a.nnz,
-                         int(np.bitwise_xor.reduce(a.rc.astype(np.int64)
-                                                   + 0x9E3779B9)))
+        # structural identity of A (exact: pattern arrays kept by ref)
+        self.a_struct = (a.tm, a.tn, a.trow, a.tcol, a.tnnz_ptr, a.rc)
         self.shape = (a.m, b.n)
         self.args: StripArgs = build_strip_args(
             a, b, block_rows=block_rows, dtype=dtype
@@ -47,6 +46,9 @@ class StripExecutor:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        from spgemm_tpu.ops.gustavson import check_strip_feasible
+
+        check_strip_feasible(self.args, interpret)
         self.acc_dtype = acc_dtype
         self._dev = jax.device_put(self.args.device_args())
         jax.block_until_ready(self._dev)
@@ -82,14 +84,19 @@ class StripExecutor:
     def update_values(self, a: TileMat) -> None:
         """Re-upload A's value plane for a new matrix with the SAME
         sparsity structure (pattern-fixed iterative workloads)."""
-        struct = (a.nt, a.tm, a.tn, a.nnz,
-                  int(np.bitwise_xor.reduce(a.rc.astype(np.int64)
-                                            + 0x9E3779B9)))
-        if struct != self.a_struct:
+        tm0, tn0, trow0, tcol0, tnnz0, rc0 = self.a_struct
+        same = (
+            a.tm == tm0 and a.tn == tn0
+            and np.array_equal(a.trow, trow0)
+            and np.array_equal(a.tcol, tcol0)
+            and np.array_equal(a.tnnz_ptr, tnnz0)
+            and np.array_equal(a.rc, rc0)
+        )
+        if not same:
             raise ValueError(
-                "update_values requires the same tile structure "
-                f"(got nt={a.nt} nnz={a.nnz}, built with "
-                f"nt={self.a_struct[0]} nnz={self.a_struct[3]})"
+                "update_values requires the exact same tile structure "
+                f"(got nt={a.nt} nnz={a.nnz}, built with nt={trow0.size} "
+                f"nnz={rc0.size})"
             )
         a_val = np.zeros_like(self.args.a_val)
         a_val[: a.nt] = a.dense(self.args.dtype)

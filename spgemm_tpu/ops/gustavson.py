@@ -282,10 +282,12 @@ class StripArgs:
                 self.aptr, self.ak, self.slots)
 
     def vmem_bytes(self) -> int:
+        from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
+
         occ_elt = self.a_occ.dtype.itemsize
         both = self.dtype.itemsize + occ_elt
         return (2 * self.max_ablock * self.tm * self.tk * both
-                + 4 * self.tk * self.max_b * self.tn * both
+                + B_CACHE_SLOTS * self.tk * self.max_b * self.tn * both
                 + 2 * (self.max_cblock + 1) * self.tm * self.tn * both)
 
 
@@ -354,12 +356,32 @@ def _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock):
     return c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c
 
 
+def run_strip_symbolic(a: TileMat, b: TileMat, block_rows: int, max_b: int,
+                       max_ablock: int):
+    """The per-run symbolic phase alone (native C++ with NumPy fallback):
+    C tile dictionary + per-pair slot table + gather map. Callers that
+    re-measure or re-derive the symbolic step use this without paying for
+    operand packing."""
+    from spgemm_tpu.utils.native import gustavson_symbolic_native
+
+    sym = gustavson_symbolic_native(a, b, block_rows, max_b,
+                                    a.nt + max_ablock)
+    if sym is None:
+        sym = _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock)
+    return sym
+
+
 def build_strip_args(
     a: TileMat, b: TileMat, block_rows: int = 32,
     dtype=np.float32, occ_dtype=None,
+    reuse: StripArgs | None = None,
 ) -> StripArgs:
     """Build the complete strip-kernel plan: one-time format prep (A
-    packing + stacked B slabs) and the per-run symbolic phase."""
+    packing + stacked B slabs) and the per-run symbolic phase.
+
+    `reuse` recycles another plan's packed operands (e.g. when retrying
+    with a smaller block_rows): B slabs are block_rows-independent and A
+    blocks only need re-padding."""
     if occ_dtype is None:
         # bfloat16 occupancy: exact 0/1 inputs, sign-safe >0 pattern test
         import jax.numpy as _jnp
@@ -392,7 +414,18 @@ def build_strip_args(
     import jax.numpy as _jnp
 
     packed = None
-    if dtype == np.float32 and occ_dtype == _jnp.bfloat16:
+    if reuse is not None and reuse.dtype == dtype and reuse.max_b == max_b:
+        if reuse.max_ablock == max_ablock:
+            a_val, a_occ = reuse.a_val, reuse.a_occ
+        else:
+            a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=dtype)
+            a_val[: a.nt] = reuse.a_val[: a.nt]
+            a_occ = np.zeros((a.nt + max_ablock, tm, tk),
+                             dtype=reuse.a_occ.dtype)
+            a_occ[: a.nt] = reuse.a_occ[: a.nt]
+        b_val, b_occ = reuse.b_val, reuse.b_occ
+        packed = (a_val, a_occ, b_val, b_occ)
+    if packed is None and dtype == np.float32 and occ_dtype == _jnp.bfloat16:
         from spgemm_tpu.utils.native import pack_strip_operands_native
 
         packed = pack_strip_operands_native(a, b, max_ablock, max_b)
@@ -418,12 +451,7 @@ def build_strip_args(
 
     # --- per-run symbolic: C tile dictionary + per-pair slots ---
     t_sym = time.perf_counter()
-    from spgemm_tpu.utils.native import gustavson_symbolic_native
-
-    sym = gustavson_symbolic_native(a, b, block_rows, max_b,
-                                    a.nt + max_ablock)
-    if sym is None:
-        sym = _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock)
+    sym = run_strip_symbolic(a, b, block_rows, max_b, max_ablock)
     c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c = sym
     num_pairs = int(cnt_b[a.tcol].sum()) if a.nt else 0
     symbolic_ms = (time.perf_counter() - t_sym) * 1e3
@@ -483,9 +511,11 @@ def estimate_strip_vmem(a: TileMat, b: TileMat, block_rows: int,
     np.cumsum(np.bincount(ctrow, minlength=a.gm), out=c_tptr[1:])
     per_c = np.diff(c_tptr[starts])
     max_cblock = max(1, int(per_c.max()) if per_c.size else 1)
+    from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
+
     both = val_bytes + occ_bytes
     return (2 * max_ablock * a.tm * a.tn * both
-            + 4 * a.tn * max_b * b.tn * both
+            + B_CACHE_SLOTS * a.tn * max_b * b.tn * both
             + 2 * (max_cblock + 1) * a.tm * b.tn * both)
 
 
@@ -502,3 +532,24 @@ def choose_strip_block_rows(
             return br
         br //= 2
     return None
+
+
+def check_strip_feasible(args: StripArgs, interpret: bool) -> None:
+    """Raise an actionable error if the strip kernel cannot run on
+    hardware with this plan (Mosaic DMA alignment, VMEM scratch). No-op
+    in interpret mode (CPU testing has neither constraint)."""
+    if interpret:
+        return
+    if args.tk % 128 != 0 or args.tn % 128 != 0 or args.tm % 8 != 0:
+        raise ValueError(
+            f"strip kernel needs 128-aligned tile minor dims on TPU "
+            f"(tm%8==0, tk%128==0, tn%128==0); got {args.tm}x{args.tk} @ "
+            f"{args.tk}x{args.tn}. Use tn=128 tiles or the gustavson/xla "
+            "backend (spgemm(backend='auto') picks this automatically)."
+        )
+    if args.vmem_bytes() > 100 * 1024 * 1024:
+        raise ValueError(
+            f"strip kernel VMEM scratch ({args.vmem_bytes()/1e6:.0f} MB) "
+            "exceeds budget; use a smaller block_rows or the gustavson/"
+            "xla backend (spgemm(backend='auto') picks this automatically)."
+        )

@@ -88,7 +88,8 @@ def _verify_against(sched, c_val, c_cnt, ref) -> None:
     # ref may have fewer candidates (no k-padding); every ref candidate
     # must exist here
     pos = np.searchsorted(key_a, key_b)
-    if not np.array_equal(key_a[pos], key_b):
+    if pos.size and (int(pos.max()) >= key_a.size
+                     or not np.array_equal(key_a[pos], key_b)):
         raise AssertionError("selfcheck: C tile dictionaries disagree")
     ref_c = ref.c
     got_val = np.asarray(c_val)[pos]
@@ -128,6 +129,8 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
     gk = a.gn
     tm, tk, tn = a.tm, a.tn, b.tn
 
+    from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
+
     on_cpu = jax.default_backend() == "cpu"
     aligned = (tn % 128 == 0 and tm % 8 == 0) or on_cpu
     f64 = jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
@@ -135,7 +138,7 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
         aligned
         and (on_cpu or not f64)  # no f64 MXU path on hardware
         and 2 * (a.nt + 1) * max_b * 4 <= 512 * 1024          # slots in SMEM
-        and 4 * tk * max_b * tn * 6 <= 64 * 1024 * 1024        # B cache VMEM
+        and B_CACHE_SLOTS * tk * max_b * tn * 6 <= 64 * 1024 * 1024  # B cache
     )
     # slab backend materializes (gk*max_a*max_b, tm, tn) x2 pair products
     slab_bytes = gk * max_a * max_b * tm * tn * 8
@@ -299,9 +302,11 @@ def _spgemm_gustavson(
                 strip = False
                 backend_used = "gustavson(strip-fallback: VMEM budget)"
             else:
+                # reuse the packed operands; only the block-dependent
+                # symbolic arrays are rebuilt
                 sargs = build_strip_args(a, b, block_rows=block_rows,
-                                         dtype=np_dtype)
-                timings["prep_ms"] = sargs.prep_ms
+                                         dtype=np_dtype, reuse=sargs)
+                timings["prep_ms"] += sargs.prep_ms
                 timings["symbolic_ms"] = sargs.symbolic_ms
 
     if not strip:

@@ -75,17 +75,24 @@ def _spmm_tiles(
     return y
 
 
-def _strip_spmm_feasible(a: TileMat, k_pad: int) -> bool:
-    """The Pallas SpMM kernel needs 128-aligned DMA minor dims and X + Y
-    staging resident in VMEM."""
+def _strip_spmm_feasible(a: TileMat, k_pad: int,
+                         block_rows: int = 64) -> bool:
+    """The Pallas SpMM kernel needs 128-aligned DMA minor dims and X,
+    the double-buffered A block slab, and Y staging resident in VMEM."""
     import jax as _jax
 
     if _jax.default_backend() == "cpu":
         return True  # interpret mode has no alignment/VMEM limits
     if a.tn % 128 != 0 or a.tm % 8 != 0:
         return False
-    x_bytes = a.gn * a.tn * k_pad * 4
-    return x_bytes <= 48 * 1024 * 1024
+    starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_block = np.diff(a.tptr.astype(np.int64)[starts])
+    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+    vmem = (a.gn * a.tn * k_pad * 4                       # X resident
+            + 2 * max_ablock * a.tm * a.tn * 4            # A double buffer
+            + 2 * block_rows * a.tm * k_pad * 4)          # Y staging
+    return vmem <= 100 * 1024 * 1024
 
 
 def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Array:

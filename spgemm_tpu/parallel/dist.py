@@ -483,6 +483,9 @@ def spgemm_sharded_strip(
     ndev = mesh.devices.size
     plan = plan_strip_partition(a, b, ndev, block_rows=block_rows)
     args = plan.args
+    from spgemm_tpu.ops.gustavson import check_strip_feasible
+
+    check_strip_feasible(args, interpret)
     gk = args.b_val.shape[0]
 
     kernel_kwargs = dict(
