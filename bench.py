@@ -32,7 +32,7 @@ import numpy as np
 ROWS = int(os.environ.get("BENCH_ROWS", 62451))
 BAND = int(os.environ.get("BENCH_BAND", 64))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
-LOOP = int(os.environ.get("BENCH_LOOP", 20))
+LOOP = int(os.environ.get("BENCH_LOOP", 50))
 TM = int(os.environ.get("BENCH_TM", 64))
 TN = int(os.environ.get("BENCH_TN", 128))
 BLOCK_ROWS = int(os.environ.get("BENCH_BLOCK_ROWS", 32))
