@@ -381,13 +381,18 @@ def spgemm_csr(
     b: CSR | None = None,
     *,
     tm: int = 16,
-    tn: int = 16,
+    tn: int = 128,
     aat: bool = False,
     **kw,
 ) -> tuple[CSR, SpGEMMResult]:
     """CSR-level convenience API, the analogue of the reference driver's
     flow (`src/main.cu:97-350`): tile A (row-major role), derive B as A,
     A^T (aat), or an explicit matrix, multiply, and return CSR C.
+
+    Default tiles are 16x128 — lane-aligned so the Pallas strip kernel
+    (the hardware fast path) is eligible; the reference's 16x16 still
+    works, routed through the XLA slab backend. tm=64 is faster yet for
+    large matrices (fewer, fuller tiles).
 
     With aat=True, B = A^T is produced directly in tile space
     (TileMat.transpose_tiles) — no CSR transpose round-trip.

@@ -17,7 +17,7 @@ from spgemm_tpu.models.tile import csr_to_tiles  # noqa: E402
 from spgemm_tpu.ops.gustavson import build_strip_args  # noqa: E402
 from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas  # noqa: E402
 
-LOOP = 20
+LOOP = 50
 
 
 def run(a, tm, tn, block_rows):
