@@ -118,17 +118,24 @@ def pair_accumulate_pallas(
             "pallas backend supports float32/bfloat16 accumulation; "
             "use the XLA backend for float64"
         )
-    if not interpret and jax.default_backend() not in ("cpu",):
-        # Mosaic requires 128-aligned minor dims for HBM DMA slices; the
-        # per-pair (tm, tk) tile DMAs here violate that for tk < 128. The
-        # strip kernel (gustavson_strip_pallas) is the production TPU path.
-        raise NotImplementedError(
-            "the per-pair DMA kernel is interpret-mode only on TPU "
-            "(unaligned tiny-tile DMAs); use backend='strip'"
-        )
     ntA, tm, tk = a_val.shape
     ntB, tk2, tn = b_val.shape
     assert tk == tk2
+    if not interpret and jax.default_backend() not in ("cpu",):
+        if not (tm % 8 == 0 and tk % 128 == 0 and tn % 128 == 0):
+            # Mosaic requires 128-aligned minor dims for HBM DMA slices;
+            # the per-pair (tm, tk) tile DMAs violate that for tk/tn < 128.
+            raise NotImplementedError(
+                "the per-pair DMA kernel needs tm%8==0, tk%128==0, "
+                "tn%128==0 tiles on TPU; use 128-wide tiles or "
+                "backend='strip'/'xla'"
+            )
+        if (pa.size + pb.size + pair_ptr.size) * 4 > 768 * 1024:
+            # pair indices are scalar-prefetched into SMEM (~1 MB)
+            raise NotImplementedError(
+                f"pair list too large for SMEM scalar prefetch "
+                f"({pa.size} pairs); use backend='strip' or 'xla'"
+            )
 
     a_packed = jnp.stack(
         [a_val.astype(acc_dtype), a_occ.astype(acc_dtype)], axis=1
