@@ -183,8 +183,10 @@ def spgemm(
       "gustavson" — gather-free batched slab matmuls grouped by the
           inner tile dimension + one fused scatter (ops/gustavson.py).
       "xla"    — pair-gather + batched einsum + scatter-add; no k-group
-          padding, better for extremely skewed tile distributions.
-      "pallas" — fused per-C-tile DMA kernel (experimental).
+          padding, the fallback for extremely skewed / unstructured tile
+          distributions (always feasible).
+      "pallas" — fused per-C-tile pair-DMA kernel; needs 128-aligned
+          tiles on hardware and a pair list that fits SMEM.
     """
     acc_dtype = acc_dtype or compute_dtype
     if jnp.dtype(compute_dtype) == jnp.float64 and not jax.config.jax_enable_x64:

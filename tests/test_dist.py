@@ -94,3 +94,38 @@ def test_sharded_strip_matches_golden(make_random_csr):
     got = tiles_to_csr(c)
     assert got.pattern_equal(ref)
     np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
+
+
+def test_strip_partition_balances_pairs(make_random_csr):
+    from spgemm_tpu.parallel.dist import plan_strip_partition
+
+    # skewed matrix: heavy band in the first rows
+    import numpy as np
+    from spgemm_tpu.models.csr import CSR
+
+    n = 512
+    rng = np.random.default_rng(3)
+    r1 = rng.integers(0, n // 4, 4000)           # heavy top quarter
+    r2 = rng.integers(n // 4, n, 1000)
+    r = np.concatenate([r1, r2])
+    c = rng.integers(0, n, r.size)
+    a = CSR.from_coo(r, c, np.ones(r.size), (n, n))
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    ndev = 4
+    plan = plan_strip_partition(at, bt, ndev, block_rows=2)
+    args = plan.args
+    # pairs per device from block ownership
+    bptr = bt.tptr.astype(np.int64)
+    ppt = bptr[at.tcol + 1] - bptr[at.tcol]
+    pairs_per_row = np.zeros(args.gm, dtype=np.int64)
+    np.add.at(pairs_per_row, at.trow, ppt)
+    blk_pairs = np.add.reduceat(pairs_per_row, np.arange(0, args.gm, 2))
+    bounds = np.append(plan.blk_lo, len(blk_pairs))
+    per_dev = [int(blk_pairs[bounds[d]:bounds[d + 1]].sum())
+               for d in range(ndev)]
+    total = sum(per_dev)
+    assert total == args.num_pairs
+    # no device should carry more than ~2x the fair share (block
+    # granularity limits precision on tiny inputs)
+    assert max(per_dev) <= 2.2 * total / ndev
