@@ -67,8 +67,7 @@ def main():
 
     from spgemm_tpu.models.csr import flop_count_spgemm
     from spgemm_tpu.models.tile import csr_to_tiles
-    from spgemm_tpu.ops.gustavson import build_strip_args
-    from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
+    from spgemm_tpu.ops.executor import StripExecutor
 
     a = make_cantlike(ROWS, BAND)
     nnz_cub = flop_count_spgemm(a, a)
@@ -82,7 +81,8 @@ def main():
     print(f"# convert_ms={convert_ms:.1f} ntA={at.nt} ntB={bt.nt}",
           file=sys.stderr)
 
-    sargs = build_strip_args(at, bt, block_rows=BLOCK_ROWS)
+    ex = StripExecutor(at, bt, block_rows=BLOCK_ROWS)
+    sargs = ex.args
     print(f"# prep_ms={sargs.prep_ms:.1f} symbolic_ms={sargs.symbolic_ms:.2f} "
           f"pairs={sargs.num_pairs} ntC={sargs.nt_c}", file=sys.stderr)
 
@@ -97,42 +97,12 @@ def main():
         run_strip_symbolic(at, bt, BLOCK_ROWS, sargs.max_b, sargs.max_ablock)
         sym_best = min(sym_best, (time.perf_counter() - t0) * 1e3)
 
-    dev = jax.device_put(sargs.device_args())
-    jax.block_until_ready(dev)
-
-    kwargs = sargs.kernel_kwargs()
-
-    # warm-up + correctness scalar (strip Pallas kernel, the fast path;
-    # block-padding slots are zero so the whole array can be counted)
-    _, c_cnt = gustavson_strip_pallas(*dev, **kwargs)
+    # warm-up + correctness scalar (block-padding slots are zero so the
+    # whole padded array can be counted)
+    _, c_cnt = ex.run()
     nnz_c = int(jnp.sum(c_cnt > 0))
 
-    # tunnel RTT (per-fetch latency to subtract from loop wall time)
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x)
-    float(trivial(dev[4]))
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(trivial(dev[4]))
-        rtts.append((time.perf_counter() - t0) * 1e3)
-    rtt_ms = min(rtts)
-
-    @jax.jit
-    def loop(av, *rest):
-        def body(i, acc):
-            cv, _ = gustavson_strip_pallas(av + acc * 1e-30, *rest, **kwargs)
-            return acc + jnp.sum(cv)
-        return jax.lax.fori_loop(0, LOOP, body, jnp.float32(0))
-
-    float(loop(*dev))  # compile
-    best_loop_ms = float("inf")
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        float(loop(*dev))
-        best_loop_ms = min(best_loop_ms, (time.perf_counter() - t0) * 1e3)
-    numeric_ms = max(0.0, best_loop_ms - rtt_ms) / LOOP
+    numeric_ms, rtt_ms = ex.time_numeric(loop=LOOP, repeats=REPEATS)
 
     runtime_ms = sym_best + numeric_ms
     gflops = 2.0 * nnz_cub / (runtime_ms * 1e6)

@@ -105,3 +105,49 @@ class StripExecutor:
         dev[0] = jax.device_put(jnp.asarray(a_val))
         jax.block_until_ready(dev[0])
         self._dev = tuple(dev)
+
+
+    def time_numeric(self, loop: int = 50, repeats: int = 3
+                     ) -> tuple[float, float]:
+        """Amortized per-dispatch numeric time.
+
+        Chains `loop` kernel dispatches on device through a data
+        dependency (the host fetches one scalar at the end), measures
+        wall time around the chain, and subtracts the measured host
+        round-trip latency — on tunneled TPU setups a single dispatch
+        measures the tunnel, not the chip. Returns (numeric_ms, rtt_ms).
+        """
+        import time as _time
+
+        from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
+
+        kwargs = dict(self.args.kernel_kwargs(),
+                      acc_dtype=self.acc_dtype, interpret=self.interpret)
+
+        @jax.jit
+        def chain(av, *rest):
+            def body(i, acc):
+                cv, _ = gustavson_strip_pallas(
+                    av + acc.astype(av.dtype) * 1e-30, *rest, **kwargs)
+                return acc + jnp.sum(cv).astype(jnp.float32)
+            return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+        @jax.jit
+        def trivial(x):
+            return jnp.sum(x)
+
+        float(trivial(self._dev[4]))
+        rtts = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            float(trivial(self._dev[4]))
+            rtts.append((_time.perf_counter() - t0) * 1e3)
+        rtt_ms = min(rtts)
+
+        float(chain(*self._dev))  # compile
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = _time.perf_counter()
+            float(chain(*self._dev))
+            best = min(best, (_time.perf_counter() - t0) * 1e3)
+        return max(0.0, best - rtt_ms) / loop, rtt_ms

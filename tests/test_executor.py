@@ -46,3 +46,12 @@ def test_executor_update_values(make_random_csr, rng):
     a3 = make_random_csr(64, 64, 0.2)
     with pytest.raises(ValueError, match="same tile structure"):
         ex.update_values(csr_to_tiles(a3, 8, 16))
+
+
+def test_time_numeric(make_random_csr):
+    a = make_random_csr(64, 64, 0.1)
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    ex = StripExecutor(at, bt, block_rows=4)
+    ms, rtt = ex.time_numeric(loop=2, repeats=1)
+    assert ms >= 0 and rtt >= 0

@@ -162,15 +162,38 @@ def main(argv=None) -> int:
                 ref = golden.spgemm_scipy(a, a.transpose() if aat else a)
                 ok = golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-5)
                 verdict = "PASSED" if ok else "NOT PASSED"
+            # amortized on-device numeric time (resident operands, chained
+            # dispatches) — the per-call wall time above is dominated by
+            # host<->device transfers on tunneled setups
+            dev_ms = dev_gflops = ""
+            if str(res.stats.get("backend", "")).startswith("strip"):
+                from spgemm_tpu.models.tile import csr_to_tiles as c2t
+                from spgemm_tpu.ops.executor import StripExecutor
+
+                a_t = c2t(a, args.tm, args.tn)
+                if aat:
+                    b_t = (a_t.transpose_tiles() if args.tm == args.tn
+                           else c2t(a.transpose(), args.tn, args.tn))
+                else:
+                    b_t = (a_t if args.tm == args.tn
+                           else c2t(a, args.tn, args.tn))
+                ex = StripExecutor(a_t, b_t)
+                ms, _ = ex.time_numeric(loop=20, repeats=2)
+                ms += res.timings_ms.get("symbolic_ms", 0)
+                dev_ms = round(ms, 3)
+                dev_gflops = round(2 * nnz_cub / (ms * 1e6), 2) if ms else ""
             csv_sink.append_row(
                 summary,
                 ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
-                 "runtime_ms", "wall_ms", "gflops", "check"],
+                 "runtime_ms", "wall_ms", "gflops", "device_ms",
+                 "device_gflops", "check"],
                 [name, cfg, a.m, a.nnz, c.nnz, nnz_cub,
-                 round(rt, 3), round(wall_ms, 1), round(gflops, 2), verdict],
+                 round(rt, 3), round(wall_ms, 1), round(gflops, 2),
+                 dev_ms, dev_gflops, verdict],
             )
             print(f"  {cfg}: nnzC={c.nnz} runtime={rt:.2f}ms "
-                  f"gflops={gflops:.2f} {verdict}", flush=True)
+                  f"gflops={gflops:.2f} device_ms={dev_ms} "
+                  f"device_gflops={dev_gflops} {verdict}", flush=True)
         # SpMM k=128
         if (name, "SpMM128") in done:
             print("  SpMM128: skipped (resume)", flush=True)
@@ -197,10 +220,11 @@ def main(argv=None) -> int:
         csv_sink.append_row(
             summary,
             ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
-             "runtime_ms", "wall_ms", "gflops", "check"],
+             "runtime_ms", "wall_ms", "gflops", "device_ms",
+             "device_gflops", "check"],
             [name, "SpMM128", a.m, a.nnz, "", 128 * a.nnz,
              round(spmm_ms, 3), round(spmm_ms, 1),
-             round(2 * 128 * a.nnz / (spmm_ms * 1e6), 2), ""],
+             round(2 * 128 * a.nnz / (spmm_ms * 1e6), 2), "", "", ""],
         )
         print(f"  SpMM128: {spmm_ms:.2f} ms", flush=True)
     print(f"summary -> {summary}")
