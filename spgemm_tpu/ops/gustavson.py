@@ -268,6 +268,8 @@ class StripArgs:
     max_ablock: int        # max A tiles in any block of block_rows rows
     max_cblock: int        # max C tiles in any block of block_rows rows
     block_rows: int
+    kwin: int | None = None   # windowed-B mode: contiguous k slabs/block
+    kmin: np.ndarray | None = None  # (n_blocks,) window start per block
     dtype: np.dtype = np.float32
     prep_ms: float = 0.0
     symbolic_ms: float = 0.0
@@ -275,19 +277,22 @@ class StripArgs:
     def kernel_kwargs(self) -> dict:
         return dict(gm=self.gm, max_b=self.max_b,
                     max_ablock=self.max_ablock, max_cblock=self.max_cblock,
-                    block_rows=self.block_rows)
+                    block_rows=self.block_rows, kwin=self.kwin)
 
     def device_args(self):
-        return (self.a_val, self.a_occ, self.b_val, self.b_occ,
+        base = (self.a_val, self.a_occ, self.b_val, self.b_occ,
                 self.aptr, self.ak, self.slots)
+        return base + ((self.kmin,) if self.kwin is not None else ())
 
     def vmem_bytes(self) -> int:
         from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
 
         occ_elt = self.a_occ.dtype.itemsize
         both = self.dtype.itemsize + occ_elt
+        b_slabs = (2 * self.kwin if self.kwin is not None
+                   else B_CACHE_SLOTS)
         return (2 * self.max_ablock * self.tm * self.tk * both
-                + B_CACHE_SLOTS * self.tk * self.max_b * self.tn * both
+                + b_slabs * self.tk * self.max_b * self.tn * both
                 + 2 * (self.max_cblock + 1) * self.tm * self.tn * both)
 
 
@@ -375,13 +380,20 @@ def build_strip_args(
     a: TileMat, b: TileMat, block_rows: int = 32,
     dtype=np.float32, occ_dtype=None,
     reuse: StripArgs | None = None,
+    window: bool | None = None,
 ) -> StripArgs:
     """Build the complete strip-kernel plan: one-time format prep (A
     packing + stacked B slabs) and the per-run symbolic phase.
 
     `reuse` recycles another plan's packed operands (e.g. when retrying
     with a smaller block_rows): B slabs are block_rows-independent and A
-    blocks only need re-padding."""
+    blocks only need re-padding.
+
+    `window` selects the windowed-B kernel variant (each block's B slabs
+    fetched as one contiguous prefetched DMA): None = auto (on when every
+    block's k span is small and contiguous enough), False = always use
+    the cached-fetch variant (required by the distributed path, whose
+    per-device plans share one global B layout)."""
     if occ_dtype is None:
         # bfloat16 occupancy: exact 0/1 inputs, sign-safe >0 pattern test
         import jax.numpy as _jnp
@@ -447,6 +459,50 @@ def build_strip_args(
             gk, tk, max_b * tn)
         b_occ = b_occ.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
             gk, tk, max_b * tn)
+    # --- windowed-B mode decision (one contiguous prefetched B DMA per
+    # block when every block's k span is small — banded/local matrices)
+    nb_blocks = max(1, -(-a.gm // block_rows))
+    kwin = None
+    kmin_arr = None
+    if window is None or window:
+        row_starts = np.arange(0, a.gm, block_rows)
+        if a.nt and row_starts.size:
+            ak64 = a.tcol.astype(np.int64)
+            row_has = np.diff(aptr64) > 0
+            firstk = np.where(
+                row_has, ak64[np.minimum(aptr64[:-1], a.nt - 1)], gk)
+            lastk = np.where(
+                row_has, ak64[np.maximum(aptr64[1:] - 1, 0)], -1)
+            blk_min = np.minimum.reduceat(firstk, row_starts)
+            blk_max = np.maximum.reduceat(lastk, row_starts)
+            bad = blk_max < blk_min
+            blk_min[bad] = 0
+            blk_max[bad] = 0
+            span = max(1, int((blk_max - blk_min + 1).max()))
+        else:
+            blk_min = np.zeros(nb_blocks, np.int64)
+            span = 1
+        occ_elt = np.dtype(b_occ.dtype).itemsize
+        win_vmem = 2 * span * tk * max_b * tn * (dtype.itemsize + occ_elt)
+        # windows of adjacent blocks overlap; cap the refetch overhead
+        traffic_ok = nb_blocks * span <= 2 * gk + 16
+        if win_vmem <= 48 * 1024 * 1024 and traffic_ok:
+            kwin = span
+            gk_pad = max(gk, kwin)
+            kmin_arr = np.clip(blk_min, 0, gk_pad - kwin).astype(INDEX_DTYPE)
+            if b_val.shape[0] < gk_pad:
+                pad = gk_pad - b_val.shape[0]
+                b_val = np.concatenate(
+                    [b_val, np.zeros((pad,) + b_val.shape[1:],
+                                     dtype=b_val.dtype)])
+                b_occ = np.concatenate(
+                    [b_occ, np.zeros((pad,) + b_occ.shape[1:],
+                                     dtype=b_occ.dtype)])
+        elif window:
+            raise ValueError(
+                f"windowed strip mode infeasible: k span {span} slabs "
+                f"needs {win_vmem/1e6:.0f} MB VMEM"
+            )
     prep_ms = (time.perf_counter() - t_prep) * 1e3
 
     # --- per-run symbolic: C tile dictionary + per-pair slots ---
@@ -465,7 +521,7 @@ def build_strip_args(
         nt_c=nt_c, num_pairs=num_pairs,
         gm=a.gm, gn_c=b.gn, tm=tm, tk=tk, tn=tn, max_b=max_b,
         max_ablock=max_ablock, max_cblock=max_cblock,
-        block_rows=block_rows, dtype=dtype,
+        block_rows=block_rows, kwin=kwin, kmin=kmin_arr, dtype=dtype,
         prep_ms=prep_ms, symbolic_ms=symbolic_ms,
     )
 

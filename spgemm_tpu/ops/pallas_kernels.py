@@ -395,6 +395,123 @@ def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
     return kernel
 
 
+def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
+                                 block_rows, gm, n_blocks, val_precision,
+                                 kwin):
+    """Windowed-B variant: each block's B slabs span a contiguous k range
+    of at most `kwin` slabs (banded / locality-rich matrices), so B
+    arrives by ONE prefetched DMA per block exactly like A — no cache
+    lookups, no per-iteration fetch branches."""
+
+    def kernel(
+        aptr_ref,    # (gm+1,)
+        ak_ref,      # (ntA_pad,)
+        slot_ref,    # (ntA_pad*max_b,)
+        kmin_ref,    # (n_blocks,) first k slab of each block's window
+        av_ref, ao_ref,          # (ntA_pad, tm, tk)
+        bv_ref, bo_ref,          # (gk_pad, tk, max_b*tn), gk_pad >= kwin
+        cv_ref, co_ref,          # (n_blocks*max_cblock, tm, tn)
+        av_sc, ao_sc,            # (2, max_ablock, tm, tk)
+        bv_sc, bo_sc,            # (2, kwin, tk, max_b*tn)
+        ov_sc, oo_sc,            # (2, max_cblock+1, tm, tn)
+        av_sem, ao_sem,          # DMA (2,)
+        bv_sem, bo_sem,          # DMA (2,)
+        out_sem,                 # DMA (2, 2)
+    ):
+        blk = pl.program_id(0)
+        buf = blk % 2
+
+        def in_dmas(p, slot):
+            a_lo = aptr_ref[p * block_rows]
+            klo = kmin_ref[p]
+            return (
+                pltpu.make_async_copy(
+                    av_ref.at[pl.ds(a_lo, max_ablock)], av_sc.at[slot],
+                    av_sem.at[slot]),
+                pltpu.make_async_copy(
+                    ao_ref.at[pl.ds(a_lo, max_ablock)], ao_sc.at[slot],
+                    ao_sem.at[slot]),
+                pltpu.make_async_copy(
+                    bv_ref.at[pl.ds(klo, kwin)], bv_sc.at[slot],
+                    bv_sem.at[slot]),
+                pltpu.make_async_copy(
+                    bo_ref.at[pl.ds(klo, kwin)], bo_sc.at[slot],
+                    bo_sem.at[slot]),
+            )
+
+        def out_dmas(p, slot):
+            dst = pl.ds(p * max_cblock, max_cblock)
+            return (
+                pltpu.make_async_copy(
+                    ov_sc.at[slot, pl.ds(0, max_cblock)], cv_ref.at[dst],
+                    out_sem.at[slot, 0]),
+                pltpu.make_async_copy(
+                    oo_sc.at[slot, pl.ds(0, max_cblock)], co_ref.at[dst],
+                    out_sem.at[slot, 1]),
+            )
+
+        @pl.when(blk == 0)
+        def _():
+            for d in in_dmas(0, 0):
+                d.start()
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            for d in in_dmas(blk + 1, 1 - buf):
+                d.start()
+
+        for d in in_dmas(blk, buf):
+            d.wait()
+
+        @pl.when(blk >= 2)
+        def _():
+            for d in out_dmas(blk - 2, buf):
+                d.wait()
+
+        ov_sc[buf] = jnp.zeros_like(ov_sc[buf])
+        oo_sc[buf] = jnp.zeros_like(oo_sc[buf])
+
+        i0 = blk * block_rows
+        a_lo = aptr_ref[i0]
+        a_hi = aptr_ref[jnp.minimum(i0 + block_rows, gm)]
+        klo = kmin_ref[blk]
+
+        def t_body(g, _):
+            w = ak_ref[g] - klo
+            la = g - a_lo
+            prod_v = jnp.dot(
+                av_sc[buf, la], bv_sc[buf, w],
+                preferred_element_type=ov_sc.dtype,
+                precision=val_precision,
+            )
+            prod_o = jnp.dot(
+                ao_sc[buf, la], bo_sc[buf, w],
+                preferred_element_type=jnp.float32,
+            ).astype(oo_sc.dtype)
+            for y in range(max_b):
+                s = slot_ref[g * max_b + y]
+                ov_sc[buf, s] += prod_v[:, y * tn : (y + 1) * tn]
+                oo_sc[buf, s] += prod_o[:, y * tn : (y + 1) * tn]
+            return 0
+
+        jax.lax.fori_loop(a_lo, a_hi, t_body, 0)
+
+        for d in out_dmas(blk, buf):
+            d.start()
+
+        @pl.when(blk == n_blocks - 1)
+        def _():
+            @pl.when(blk >= 1)
+            def _():
+                for d in out_dmas(blk - 1, 1 - buf):
+                    d.wait()
+
+            for d in out_dmas(blk, buf):
+                d.wait()
+
+    return kernel
+
+
 def gustavson_strip_pallas(
     a_val: jax.Array,      # (ntA_pad, tm, tk) float32
     a_occ: jax.Array,      # (ntA_pad, tm, tk) occ dtype (bfloat16 default)
@@ -403,12 +520,14 @@ def gustavson_strip_pallas(
     aptr: jax.Array,       # (gm+1,)
     ak: jax.Array,         # (ntA_pad,)
     slots: jax.Array,      # (ntA_pad*max_b,)
+    kmin: jax.Array | None = None,  # (n_blocks,) for the windowed variant
     *,
     gm: int,
     max_b: int,
     max_ablock: int,
     max_cblock: int,
     block_rows: int = 32,
+    kwin: int | None = None,
     acc_dtype=jnp.float32,
     val_precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
@@ -428,16 +547,33 @@ def gustavson_strip_pallas(
     occ_dtype = a_occ.dtype
     n_blocks = max(1, -(-gm // block_rows))
 
-    kernel = _strip_kernel_factory(
-        tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
-        n_blocks, val_precision,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        scratch_shapes=[
+    if kwin is not None:
+        assert kmin is not None
+        kernel = _strip_window_kernel_factory(
+            tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
+            n_blocks, val_precision, kwin,
+        )
+        scratch = [
+            pltpu.VMEM((2, max_ablock, tm, tk), acc_dtype),
+            pltpu.VMEM((2, max_ablock, tm, tk), occ_dtype),
+            pltpu.VMEM((2, kwin, tk, max_b * tn), acc_dtype),
+            pltpu.VMEM((2, kwin, tk, max_b * tn), occ_dtype),
+            pltpu.VMEM((2, max_cblock + 1, tm, tn), acc_dtype),
+            pltpu.VMEM((2, max_cblock + 1, tm, tn), occ_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        num_scalars = 4
+        scalar_args = (aptr, ak, slots, kmin)
+    else:
+        kernel = _strip_kernel_factory(
+            tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
+            n_blocks, val_precision,
+        )
+        scratch = [
             pltpu.VMEM((2, max_ablock, tm, tk), acc_dtype),
             pltpu.VMEM((2, max_ablock, tm, tk), occ_dtype),
             pltpu.VMEM((B_CACHE_SLOTS, tk, max_b * tn), acc_dtype),
@@ -450,7 +586,16 @@ def gustavson_strip_pallas(
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((B_CACHE_SLOTS, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        ]
+        num_scalars = 3
+        scalar_args = (aptr, ak, slots)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=num_scalars,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -463,7 +608,7 @@ def gustavson_strip_pallas(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
-    )(aptr, ak, slots, a_val, a_occ, b_val, b_occ)
+    )(*scalar_args, a_val, a_occ, b_val, b_occ)
 
 
 # ---------------------------------------------------------------------------

@@ -393,7 +393,9 @@ def plan_strip_partition(
     all-gathered over ICI at run time."""
     from spgemm_tpu.ops.gustavson import build_strip_args
 
-    args = build_strip_args(a, b, block_rows=block_rows, dtype=dtype)
+    # cached-B kernel variant: per-device slices share one global B layout
+    args = build_strip_args(a, b, block_rows=block_rows, dtype=dtype,
+                            window=False)
     n_blocks = max(1, cdiv(args.gm, block_rows))
 
     # pairs per block -> contiguous block ranges with ~equal pairs

@@ -111,3 +111,31 @@ def test_native_symbolic_matches_numpy(make_random_csr):
                                          "slots", "gather_idx",
                                          "max_cblock", "nt_c")):
         np.testing.assert_array_equal(got, exp, err_msg=name)
+
+
+def test_strip_windowed_mode(make_random_csr):
+    """Force the windowed-B kernel variant on a banded matrix and check
+    against the cached variant + golden."""
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.ops.gustavson import build_strip_args, strip_numeric
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    n = 96
+    offs = np.arange(-3, 4)
+    r = np.repeat(np.arange(n), offs.size)
+    c = r + np.tile(offs, n)
+    keep = (c >= 0) & (c < n)
+    a = CSR.from_coo(r[keep], c[keep],
+                     (r[keep] % 7 + 1).astype(np.float64), (n, n))
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+
+    sw = build_strip_args(at, bt, block_rows=2, window=True)
+    assert sw.kwin is not None
+    cv, cc = strip_numeric(sw, interpret=True)
+    cw = _compact_to_tilemat(sw.ctrow, sw.ctcol, cv, cc, (n, n), 8, 16)
+
+    ref = golden.spgemm_dense_row(a, a)
+    got = cw.to_csr()
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)

@@ -131,3 +131,26 @@ def test_selfcheck_mode(make_random_csr, monkeypatch):
     c, res = spgemm_csr(a, backend="strip")
     ref = golden.spgemm_scipy(a, a)
     assert golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-6)
+
+
+def test_gustavson_backend_matches_oracle(make_random_csr):
+    a = make_random_csr(110, 90, 0.06)
+    b = make_random_csr(90, 70, 0.08)
+    at, bt = csr_to_tiles(a, 8, 16), csr_to_tiles(b, 16, 16)
+    res = spgemm(at, bt, backend="gustavson")
+    ref = golden.spgemm_dense_row(a, b)
+    got = res.c.to_csr()
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
+    assert res.stats["backend"].startswith("gustavson")
+
+
+def test_xla_backend_rectangular(make_random_csr):
+    a = make_random_csr(70, 120, 0.05)
+    b = make_random_csr(120, 50, 0.07)
+    at, bt = csr_to_tiles(a, 8, 16), csr_to_tiles(b, 16, 16)
+    res = spgemm(at, bt, backend="xla")
+    ref = golden.spgemm_dense_row(a, b)
+    got = res.c.to_csr()
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
