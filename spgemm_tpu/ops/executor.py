@@ -84,6 +84,11 @@ class StripExecutor:
     def update_values(self, a: TileMat) -> None:
         """Re-upload A's value plane for a new matrix with the SAME
         sparsity structure (pattern-fixed iterative workloads)."""
+        if self.a_struct is None:
+            raise ValueError(
+                "update_values is unavailable on executors built with "
+                "from_args (A pattern arrays were not retained)"
+            )
         tm0, tn0, trow0, tcol0, tnnz0, rc0 = self.a_struct
         same = (
             a.tm == tm0 and a.tn == tn0
@@ -151,3 +156,25 @@ class StripExecutor:
             float(chain(*self._dev))
             best = min(best, (_time.perf_counter() - t0) * 1e3)
         return max(0.0, best - rtt_ms) / loop, rtt_ms
+
+    @classmethod
+    def from_args(cls, args, *, acc_dtype=jnp.float32,
+                  interpret: bool | None = None,
+                  shape: tuple[int, int] | None = None) -> "StripExecutor":
+        """Wrap an existing StripArgs plan (e.g. SpGEMMResult.schedule)
+        without rebuilding it. update_values is unavailable on instances
+        built this way (the A pattern arrays are not retained)."""
+        self = cls.__new__(cls)
+        self.a_struct = None
+        self.shape = shape or (args.gm * args.tm, args.gn_c * args.tn)
+        self.args = args
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+        self.acc_dtype = acc_dtype
+        from spgemm_tpu.ops.gustavson import check_strip_feasible
+
+        check_strip_feasible(args, interpret)
+        self._dev = jax.device_put(args.device_args())
+        jax.block_until_ready(self._dev)
+        return self

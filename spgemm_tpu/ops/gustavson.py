@@ -459,8 +459,20 @@ def build_strip_args(
             gk, tk, max_b * tn)
         b_occ = b_occ.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
             gk, tk, max_b * tn)
+    prep_ms = (time.perf_counter() - t_prep) * 1e3
+
+    # --- per-run symbolic: C tile dictionary + per-pair slots ---
+    t_sym = time.perf_counter()
+    sym = run_strip_symbolic(a, b, block_rows, max_b, max_ablock)
+    c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c = sym
+    num_pairs = int(cnt_b[a.tcol].sum()) if a.nt else 0
+    symbolic_ms = (time.perf_counter() - t_sym) * 1e3
+
     # --- windowed-B mode decision (one contiguous prefetched B DMA per
-    # block when every block's k span is small — banded/local matrices)
+    # block when every block's k span is small — banded/local matrices).
+    # Gates on the kernel's TOTAL VMEM scratch (A + windowed B + C), not
+    # just the B window, so auto selection never produces a plan the
+    # feasibility check would reject.
     nb_blocks = max(1, -(-a.gm // block_rows))
     kwin = None
     kmin_arr = None
@@ -483,10 +495,13 @@ def build_strip_args(
             blk_min = np.zeros(nb_blocks, np.int64)
             span = 1
         occ_elt = np.dtype(b_occ.dtype).itemsize
-        win_vmem = 2 * span * tk * max_b * tn * (dtype.itemsize + occ_elt)
+        both = dtype.itemsize + occ_elt
+        win_total_vmem = (2 * max_ablock * tm * tk * both
+                          + 2 * span * tk * max_b * tn * both
+                          + 2 * (max_cblock + 1) * tm * tn * both)
         # windows of adjacent blocks overlap; cap the refetch overhead
         traffic_ok = nb_blocks * span <= 2 * gk + 16
-        if win_vmem <= 48 * 1024 * 1024 and traffic_ok:
+        if win_total_vmem <= 95 * 1024 * 1024 and traffic_ok:
             kwin = span
             gk_pad = max(gk, kwin)
             kmin_arr = np.clip(blk_min, 0, gk_pad - kwin).astype(INDEX_DTYPE)
@@ -501,16 +516,8 @@ def build_strip_args(
         elif window:
             raise ValueError(
                 f"windowed strip mode infeasible: k span {span} slabs "
-                f"needs {win_vmem/1e6:.0f} MB VMEM"
+                f"needs {win_total_vmem/1e6:.0f} MB VMEM total"
             )
-    prep_ms = (time.perf_counter() - t_prep) * 1e3
-
-    # --- per-run symbolic: C tile dictionary + per-pair slots ---
-    t_sym = time.perf_counter()
-    sym = run_strip_symbolic(a, b, block_rows, max_b, max_ablock)
-    c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c = sym
-    num_pairs = int(cnt_b[a.tcol].sum()) if a.nt else 0
-    symbolic_ms = (time.perf_counter() - t_sym) * 1e3
 
     return StripArgs(
         a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ,

@@ -14,7 +14,8 @@ def test_roofline_numbers():
     assert rep.executed_flops > rep.useful_flops > 0
     assert rep.bytes_moved > 0
     assert rep.sol_time_ms > 0
-    assert 0 < rep.efficiency <= 1.0 or rep.efficiency is not None
+    assert rep.efficiency is not None
+    assert 0 < rep.efficiency <= 1.0
     assert "SoL" in rep.summary()
 
 

@@ -132,9 +132,17 @@ def main(argv=None) -> int:
         import csv as _csv
 
         with open(summary) as f:
-            for row in _csv.DictReader(f):
+            reader = _csv.DictReader(f)
+            header = reader.fieldnames or []
+            for row in reader:
                 done.add((row["matrix"], row["config"]))
         print(f"resume: {len(done)} completed rows in {summary}")
+        if "device_ms" not in header:
+            # pre-device-timing format: rotate so new rows get a fresh
+            # header instead of silently misaligning columns
+            legacy = summary + ".legacy"
+            os.replace(summary, legacy)
+            print(f"resume: rotated old-format summary to {legacy}")
 
     for name, a in mats.items():
         print(f"=== {name}: m={a.m} nnz={a.nnz}", flush=True)
@@ -166,22 +174,22 @@ def main(argv=None) -> int:
             # dispatches) — the per-call wall time above is dominated by
             # host<->device transfers on tunneled setups
             dev_ms = dev_gflops = ""
-            if str(res.stats.get("backend", "")).startswith("strip"):
-                from spgemm_tpu.models.tile import csr_to_tiles as c2t
+            from spgemm_tpu.ops.gustavson import StripArgs
+
+            if (str(res.stats.get("backend", "")).startswith("strip")
+                    and isinstance(res.schedule, StripArgs)):
                 from spgemm_tpu.ops.executor import StripExecutor
 
-                a_t = c2t(a, args.tm, args.tn)
-                if aat:
-                    b_t = (a_t.transpose_tiles() if args.tm == args.tn
-                           else c2t(a.transpose(), args.tn, args.tn))
-                else:
-                    b_t = (a_t if args.tm == args.tn
-                           else c2t(a, args.tn, args.tn))
-                ex = StripExecutor(a_t, b_t)
-                ms, _ = ex.time_numeric(loop=20, repeats=2)
-                ms += res.timings_ms.get("symbolic_ms", 0)
-                dev_ms = round(ms, 3)
-                dev_gflops = round(2 * nnz_cub / (ms * 1e6), 2) if ms else ""
+                try:
+                    # reuse the plan spgemm just built and ran
+                    ex = StripExecutor.from_args(res.schedule)
+                    ms, _ = ex.time_numeric(loop=20, repeats=2)
+                    ms += res.timings_ms.get("symbolic_ms", 0)
+                    dev_ms = round(ms, 3)
+                    dev_gflops = (round(2 * nnz_cub / (ms * 1e6), 2)
+                                  if ms else "")
+                except ValueError as e:
+                    print(f"  (device timing skipped: {e})", flush=True)
             csv_sink.append_row(
                 summary,
                 ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
