@@ -21,8 +21,14 @@ Values and structural counts ride one fused scatter (concatenated along
 the segment axis), halving scatter launches. k-groups are zero-padded to
 (maxA, maxB); matrices where padding explodes (max >> mean tile counts
 per k) should use the pair backend instead — `padding_ratio()` reports
-this. (Size-binned bucketing, the analogue of the reference's 5-bin
-dispatch `tilespgemm-cuda.h:2649-2728`, is the planned refinement.)
+this.
+
+This module also hosts the STRIP-KERNEL PLANNER (`build_strip_args` and
+friends): the production path replaces this file's XLA scatter with the
+Pallas strip kernel (ops/pallas_kernels.py) driven by the plan built
+here — the TPU answer to the reference's 5-bin stream dispatch
+(`tilespgemm-cuda.h:2649-2728`) is the windowed/cached B-delivery choice
+plus block-padded writeback, not size bins.
 """
 
 from __future__ import annotations
