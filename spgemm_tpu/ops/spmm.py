@@ -174,3 +174,72 @@ def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
 def spmv(a: TileMat, x, *, dtype=jnp.float32) -> jax.Array:
     """y = A @ x for a 1-D x (SpMV), via the SpMM path."""
     return spmm(a, x, dtype=dtype)
+
+
+def time_spmm(a: TileMat, x, *, loop: int = 20, repeats: int = 2,
+              dtype=jnp.float32) -> tuple[float, float]:
+    """Amortized per-dispatch device time for the strip SpMM kernel:
+    chains `loop` dispatches through a data dependency and subtracts the
+    measured host round-trip (see StripExecutor.time_numeric).
+    Returns (spmm_ms, rtt_ms). Requires the strip path to be feasible."""
+    import time as _time
+
+    import jax as _jax
+
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+    from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
+
+    x = np.asarray(x)
+    k = x.shape[1]
+    k_pad = max(128, -(-k // 128) * 128)
+    if not _strip_spmm_feasible(a, k_pad):
+        raise ValueError("strip SpMM infeasible for this matrix/k")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    block_rows = 64
+    xb = np.zeros((a.gn, a.tn, k_pad), dtype=np_dtype)
+    xb.reshape(a.gn * a.tn, k_pad)[: a.n, :k] = x
+    aptr64 = a.tptr.astype(np.int64)
+    starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_block = np.diff(aptr64[starts])
+    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+    a_dense = np.zeros((a.nt + max_ablock, a.tm, a.tn), dtype=np_dtype)
+    a_dense[: a.nt] = a.dense(np_dtype)
+    ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
+    ak[: a.nt] = a.tcol
+    arow = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
+    arow[: a.nt] = a.trow
+    interpret = _jax.default_backend() == "cpu"
+    dev = jax.device_put((
+        jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
+        jnp.asarray(a.tptr.astype(INDEX_DTYPE)), jnp.asarray(ak),
+        jnp.asarray(arow)))
+    jax.block_until_ready(dev)
+    kwargs = dict(gm=a.gm, max_ablock=max_ablock, block_rows=block_rows,
+                  interpret=interpret)
+
+    @jax.jit
+    def chain(ad, xd, *rest):
+        def body(i, acc):
+            y = spmm_strip_pallas(ad + acc * 1e-30, xd, *rest, **kwargs)
+            return acc + jnp.sum(y).astype(jnp.float32)
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    @jax.jit
+    def trivial(v):
+        return jnp.sum(v)
+
+    float(trivial(dev[2]))
+    rtts = []
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        float(trivial(dev[2]))
+        rtts.append((_time.perf_counter() - t0) * 1e3)
+    rtt_ms = min(rtts)
+    float(chain(*dev))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = _time.perf_counter()
+        float(chain(*dev))
+        best = min(best, (_time.perf_counter() - t0) * 1e3)
+    return max(0.0, best - rtt_ms) / loop, rtt_ms

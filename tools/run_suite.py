@@ -225,6 +225,15 @@ def main(argv=None) -> int:
         y = spmm(at, x)
         jax.block_until_ready(y)
         spmm_ms = (time.perf_counter() - t0) * 1e3
+        spmm_dev_ms = spmm_dev_gf = ""
+        try:
+            from spgemm_tpu.ops.spmm import time_spmm
+
+            dms, _ = time_spmm(at, x)
+            spmm_dev_ms = round(dms, 3)
+            spmm_dev_gf = round(2 * 128 * a.nnz / (dms * 1e6), 2) if dms else ""
+        except ValueError as e:
+            print(f"  (spmm device timing skipped: {e})", flush=True)
         csv_sink.append_row(
             summary,
             ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
@@ -232,7 +241,8 @@ def main(argv=None) -> int:
              "device_gflops", "check"],
             [name, "SpMM128", a.m, a.nnz, "", 128 * a.nnz,
              round(spmm_ms, 3), round(spmm_ms, 1),
-             round(2 * 128 * a.nnz / (spmm_ms * 1e6), 2), "", "", ""],
+             round(2 * 128 * a.nnz / (spmm_ms * 1e6), 2),
+             spmm_dev_ms, spmm_dev_gf, ""],
         )
         print(f"  SpMM128: {spmm_ms:.2f} ms", flush=True)
     print(f"summary -> {summary}")
