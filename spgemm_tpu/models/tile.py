@@ -147,6 +147,17 @@ class TileMat:
             * (self.tm * self.tn) + self.rc] = 1
         return out.reshape(self.nt, self.tm, self.tn)
 
+    def to_dense_padded(self, dtype=None) -> np.ndarray:
+        """Full dense matrix padded to the tile grid, (gm*tm, gn*tn) —
+        operand layout for the dense MXU backend."""
+        dtype = dtype or self.val.dtype
+        t = self.tile_ids_expanded()
+        rows = self.trow[t].astype(np.int64) * self.tm + self.rc // self.tn
+        cols = self.tcol[t].astype(np.int64) * self.tn + self.rc % self.tn
+        out = np.zeros((self.gm * self.tm, self.gn * self.tn), dtype=dtype)
+        out[rows, cols] = self.val
+        return out
+
     def occ_from_mask(self) -> np.ndarray:
         """occ() recomputed from the packed bitmask words (reference
         semantics check; used by tests to validate mask construction)."""

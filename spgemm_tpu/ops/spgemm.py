@@ -144,19 +144,37 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
     slab_bytes = gk * max_a * max_b * tm * tn * 8
     slab_ok = slab_bytes <= 4 << 30
 
+    # when tiling is defeated (unstructured patterns break the strip
+    # gates), a plain dense MXU matmul beats sparse gathering up to a
+    # surprisingly large n — three padded dense operands must fit HBM
+    dense_ok = _dense_bytes(a, b) <= 6 << 30
+
     if backend == "auto":
         if strip_ok:
             return "strip", ""
+        if dense_ok and not f64:
+            return "dense", ""
         if slab_ok:
             return "gustavson", ""
         return "xla", ""
     if backend == "strip" and not strip_ok:
+        note = "strip-fallback: SMEM/VMEM/alignment limits"
+        if dense_ok and not f64:
+            return "dense", note
         if slab_ok:
-            return "gustavson", "strip-fallback: SMEM/VMEM/alignment limits"
-        return "xla", "strip-fallback: SMEM/VMEM/alignment limits"
+            return "gustavson", note
+        return "xla", note
     if backend == "gustavson" and not slab_ok:
         return "xla", "gustavson-fallback: pair products exceed HBM budget"
     return backend, ""
+
+
+def _dense_bytes(a: TileMat, b: TileMat) -> int:
+    """HBM bytes the dense backend needs (padded A, B, C values f32 +
+    occupancy bf16)."""
+    m_pad, k_pad = a.gm * a.tm, a.gn * a.tn
+    n_pad = b.gn * b.tn
+    return (m_pad * k_pad + k_pad * n_pad + m_pad * n_pad) * 6
 
 
 def spgemm(
@@ -204,6 +222,11 @@ def spgemm(
         return _spgemm_gustavson(
             a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
             device=device, sync=sync, strip=(backend == "strip"),
+            note=note,
+        )
+    if backend == "dense":
+        return _spgemm_dense(
+            a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
             note=note,
         )
 
@@ -425,3 +448,100 @@ def spgemm_csr(
     if total_device_ms > 0:
         res.stats["gflops"] = 2.0 * nnz_cub / (total_device_ms * 1e6)
     return c_csr, res
+
+
+# --- dense MXU backend ------------------------------------------------------
+# When an unstructured pattern defeats tiling (the strip gates fail), a
+# plain padded dense matmul on the MXU beats sparse gathering up to a
+# surprisingly large n: an 8192^2 f32 matmul is milliseconds on a v5e,
+# versus seconds of per-pair gathers. This is the TPU-first replacement
+# for the reference's nsparse hash path (`src/spgemm_nsparse_kernel.h`) —
+# hash tables have no good MXU mapping, but dense FLOPs are nearly free.
+
+
+@dataclasses.dataclass
+class _DenseSched:
+    """Minimal schedule view (ctrow/ctcol/counts) for compaction/stats."""
+
+    ctrow: np.ndarray
+    ctcol: np.ndarray
+    nt_c: int
+    num_pairs: int
+
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("gm", "gn", "tm", "tn", "acc_dtype")
+)
+def _dense_spgemm_kernel(ad, ao, bd, bo, *, gm, gn, tm, tn,
+                         acc_dtype=jnp.float32):
+    """One fused dense pass: values (f32 HIGHEST) + structural counts
+    (bf16 occupancy, exact 0/1 math), cut into the tile grid, plus the
+    per-tile nonzero mask used to select which tiles to download."""
+    cv = jnp.dot(ad, bd, preferred_element_type=acc_dtype,
+                 precision=jax.lax.Precision.HIGHEST)
+    cc = jnp.dot(ao, bo, preferred_element_type=jnp.float32)
+    cv4 = cv.reshape(gm, tm, gn, tn).transpose(0, 2, 1, 3).reshape(
+        gm * gn, tm, tn)
+    cc4 = cc.reshape(gm, tm, gn, tn).transpose(0, 2, 1, 3).reshape(
+        gm * gn, tm, tn)
+    tile_occ = (cc4 > 0).any(axis=(1, 2))
+    return cv4, cc4, tile_occ
+
+
+def _spgemm_dense(
+    a: TileMat,
+    b: TileMat,
+    *,
+    compute_dtype=jnp.float32,
+    acc_dtype=None,
+    note: str = "",
+) -> SpGEMMResult:
+    acc_dtype = acc_dtype or compute_dtype
+    timings: dict[str, float] = {}
+    backend_used = f"dense({note})" if note else "dense"
+    gm, gn = a.gm, b.gn
+    tm, tn = a.tm, b.tn
+
+    t0 = time.perf_counter()
+    ad_h = a.to_dense_padded(np.float32)
+    bd_h = b.to_dense_padded(np.float32)
+    ad = jnp.asarray(ad_h, dtype=compute_dtype)
+    bd = jnp.asarray(bd_h, dtype=compute_dtype)
+    ao = jnp.asarray(ad_h != 0, dtype=jnp.bfloat16)
+    bo = jnp.asarray(bd_h != 0, dtype=jnp.bfloat16)
+    jax.block_until_ready((ad, bd, ao, bo))
+    timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+    timings["symbolic_ms"] = 0.0  # pattern rides the occupancy matmul
+
+    t0 = time.perf_counter()
+    cv4, cc4, tile_occ = _dense_spgemm_kernel(
+        ad, ao, bd, bo, gm=gm, gn=gn, tm=tm, tn=tn, acc_dtype=acc_dtype)
+    mask = np.asarray(tile_occ)       # host sync: which tiles exist
+    flat = np.flatnonzero(mask)
+    idx = jnp.asarray(flat.astype(np.int32))
+    c_val = np.asarray(jnp.take(cv4, idx, axis=0), dtype=np.float64)
+    c_cnt = np.asarray(jnp.take(cc4, idx, axis=0))
+    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+
+    ctrow = (flat // gn).astype(INDEX_DTYPE)
+    ctcol = (flat % gn).astype(INDEX_DTYPE)
+    t0 = time.perf_counter()
+    c = _compact_to_tilemat(ctrow, ctcol, c_val, c_cnt,
+                            (a.m, b.n), tm, tn)
+    timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+
+    bptr = b.tptr.astype(np.int64)
+    num_pairs = int((bptr[a.tcol + 1] - bptr[a.tcol]).sum()) if a.nt else 0
+    sched = _DenseSched(ctrow=ctrow, ctcol=ctcol, nt_c=int(flat.size),
+                        num_pairs=num_pairs)
+    stats = {
+        "num_pairs": float(num_pairs),
+        "numblkC_candidate": float(flat.size),
+        "numblkC": float(c.nt),
+        "nnzC": float(c.nnz),
+        "backend": backend_used,
+    }
+    return SpGEMMResult(c=c, schedule=sched, timings_ms=timings, stats=stats)

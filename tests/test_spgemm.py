@@ -154,3 +154,25 @@ def test_xla_backend_rectangular(make_random_csr):
     got = res.c.to_csr()
     assert got.pattern_equal(ref)
     np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
+
+
+def test_dense_backend_matches_oracle(make_random_csr):
+    a = make_random_csr(90, 110, 0.05)
+    b = make_random_csr(110, 70, 0.06)
+    at, bt = csr_to_tiles(a, 8, 16), csr_to_tiles(b, 16, 16)
+    res = spgemm(at, bt, backend="dense")
+    ref = golden.spgemm_dense_row(a, b)
+    got = res.c.to_csr()
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-6)
+    assert res.stats["backend"].startswith("dense")
+
+
+def test_dense_backend_structural_zeros():
+    # cancellation must keep structural entries (cnt>0, value 0)
+    a = CSR.from_coo([0, 0], [0, 1], [1.0, -1.0], (2, 2))
+    b = CSR.from_coo([0, 1], [0, 0], [1.0, 1.0], (2, 2))
+    at, bt = csr_to_tiles(a, 2, 2), csr_to_tiles(b, 2, 2)
+    res = spgemm(at, bt, backend="dense")
+    c = res.c.to_csr()
+    assert c.nnz == 1 and c.data[0] == 0.0  # structural zero kept
