@@ -200,9 +200,11 @@ def spgemm(
           alignment limits.
       "gustavson" — gather-free batched slab matmuls grouped by the
           inner tile dimension + one fused scatter (ops/gustavson.py).
+      "dense"  — padded dense MXU matmul + device-side tile selection;
+          the unstructured-pattern path when the three padded operands
+          fit HBM (hash tables have no MXU mapping; dense FLOPs do).
       "xla"    — pair-gather + batched einsum + scatter-add; no k-group
-          padding, the fallback for extremely skewed / unstructured tile
-          distributions (always feasible).
+          padding, the always-feasible fallback.
       "pallas" — fused per-C-tile pair-DMA kernel; needs 128-aligned
           tiles on hardware and a pair list that fits SMEM.
     """
