@@ -547,3 +547,47 @@ def _spgemm_dense(
         "backend": backend_used,
     }
     return SpGEMMResult(c=c, schedule=sched, timings_ms=timings, stats=stats)
+
+
+def time_dense(a: TileMat, b: TileMat, *, loop: int = 10, repeats: int = 2,
+               compute_dtype=jnp.float32) -> tuple[float, float]:
+    """Amortized per-dispatch device time for the dense backend's fused
+    kernel (values + counts + tile mask), chained like
+    StripExecutor.time_numeric. Returns (dense_ms, rtt_ms)."""
+    gm, gn = a.gm, b.gn
+    tm, tn = a.tm, b.tn
+    ad_h = a.to_dense_padded(np.float32)
+    bd_h = b.to_dense_padded(np.float32)
+    ad = jax.device_put(jnp.asarray(ad_h, dtype=compute_dtype))
+    bd = jax.device_put(jnp.asarray(bd_h, dtype=compute_dtype))
+    ao = jax.device_put(jnp.asarray(ad_h != 0, dtype=jnp.bfloat16))
+    bo = jax.device_put(jnp.asarray(bd_h != 0, dtype=jnp.bfloat16))
+    jax.block_until_ready((ad, bd, ao, bo))
+
+    @jax.jit
+    def chain(ad, ao, bd, bo):
+        def body(i, acc):
+            cv4, _, _ = _dense_spgemm_kernel(
+                ad + acc * 1e-30, ao, bd, bo,
+                gm=gm, gn=gn, tm=tm, tn=tn)
+            return acc + jnp.sum(cv4).astype(jnp.float32)
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x)
+
+    float(trivial(ad))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(trivial(ad))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    rtt_ms = min(rtts)
+    float(chain(ad, ao, bd, bo))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chain(ad, ao, bd, bo))
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return max(0.0, best - rtt_ms) / loop, rtt_ms
