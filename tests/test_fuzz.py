@@ -1,0 +1,43 @@
+"""Cross-backend fuzz: random shapes, tile sizes, and densities — every
+backend must agree with the scipy oracle (pattern AND values)."""
+
+import numpy as np
+import pytest
+
+from spgemm_tpu.models.csr import CSR
+from spgemm_tpu.models.tile import csr_to_tiles
+from spgemm_tpu.ops import golden
+from spgemm_tpu.ops.spgemm import spgemm
+
+CASES = [
+    # (m, k, n, density, tm, tn, seed)
+    (64, 64, 64, 0.10, 8, 8, 0),
+    (100, 50, 80, 0.08, 16, 16, 1),
+    (33, 77, 55, 0.15, 8, 16, 2),
+    (128, 128, 128, 0.02, 16, 32, 3),
+    (200, 40, 200, 0.05, 8, 8, 4),
+    (90, 90, 90, 0.30, 16, 16, 5),   # dense-ish
+    (70, 130, 20, 0.07, 32, 16, 6),
+]
+BACKENDS = ["strip", "gustavson", "dense", "xla"]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[f"c{c[-1]}" for c in CASES])
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_fuzz_backend_vs_oracle(case, backend):
+    m, k, n, density, tm, tn, seed = case
+    rng = np.random.default_rng(seed)
+    nnz_a = max(1, int(m * k * density))
+    nnz_b = max(1, int(k * n * density))
+    a = CSR.from_coo(rng.integers(0, m, nnz_a), rng.integers(0, k, nnz_a),
+                     rng.integers(-4, 5, nnz_a).astype(np.float64), (m, k))
+    b = CSR.from_coo(rng.integers(0, k, nnz_b), rng.integers(0, n, nnz_b),
+                     rng.integers(-4, 5, nnz_b).astype(np.float64), (k, n))
+    at = csr_to_tiles(a, tm, tn)
+    bt = csr_to_tiles(b, tn, tn)
+    res = spgemm(at, bt, backend=backend)
+    ref = golden.spgemm_scipy(a, b)
+    got = golden.drop_explicit_zeros(res.c.to_csr())
+    assert got.pattern_equal(ref), f"{backend} pattern mismatch on {case}"
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5, atol=1e-8,
+                               err_msg=f"{backend} values on {case}")
