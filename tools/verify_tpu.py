@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Hardware verification drive: exercises the public API end to end on
+the REAL TPU against an independent numpy dense matmul (not the library's
+own oracles). Run:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_tpu.py
+
+Exit 0 = all checks pass. This is the script the project verify skill
+(.claude/skills/verify) runs; keep it current as the API grows.
+"""
+
+import sys
+
+import numpy as np
+
+import jax
+print("devices:", jax.devices())
+
+from spgemm_tpu.io.mmio import read_mtx
+from spgemm_tpu.ops.spgemm import spgemm_csr
+
+a, _sym = read_mtx("/root/reference/UnitTest/CSR2TILE/banded_36x36.mtx")
+ad = a.to_dense()
+ref_sq = ad @ ad
+ref_aat = ad @ ad.T
+
+fails = 0
+for backend in ("strip", "gustavson", "xla"):
+    c, res = spgemm_csr(a, backend=backend)
+    got = c.to_dense()
+    ok = np.allclose(got, ref_sq, rtol=1e-5, atol=1e-8)
+    print(f"A^2  backend={backend:10s} nnzC={c.nnz} ok={ok}")
+    fails += not ok
+
+    c2, _ = spgemm_csr(a, aat=True, backend=backend)
+    ok2 = np.allclose(c2.to_dense(), ref_aat, rtol=1e-5, atol=1e-8)
+    print(f"AAT  backend={backend:10s} nnzC={c2.nnz} ok={ok2}")
+    fails += not ok2
+
+# a bigger random problem on the strip path (the bench kernel)
+rng = np.random.default_rng(0)
+from spgemm_tpu.models.csr import CSR
+m, nnz = 700, 9000
+ar = CSR.from_coo(rng.integers(0, m, nnz), rng.integers(0, m, nnz),
+                  rng.normal(size=nnz), (m, m))
+ard = ar.to_dense()
+c3, _ = spgemm_csr(ar, tm=16, tn=128, backend="strip")
+ok3 = np.allclose(c3.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
+print(f"random 700x700 strip ok={ok3}")
+fails += not ok3
+
+# error paths
+try:
+    spgemm_csr(CSR.from_coo([0], [1], [1.0], (2, 3)))
+    print("ERROR: non-square A^2 accepted"); fails += 1
+except ValueError as e:
+    print("non-square A^2 rejected:", e)
+try:
+    spgemm_csr(ar, b=ar, aat=True)
+    print("ERROR: b+aat accepted"); fails += 1
+except ValueError as e:
+    print("b+aat rejected:", e)
+try:
+    import jax.numpy as jnp
+    spgemm_csr(ar, compute_dtype=jnp.float64)
+    print("ERROR: fp64 without x64 accepted"); fails += 1
+except ValueError as e:
+    print("fp64 w/o x64 rejected:", e)
+
+# SpMM strip kernel on hardware
+from spgemm_tpu.models.tile import csr_to_tiles
+from spgemm_tpu.ops.spmm import spmm, spmv
+t = csr_to_tiles(ar, 16, 128)
+xk = rng.standard_normal((ar.n, 64)).astype(np.float32)
+y = np.asarray(spmm(t, xk))
+ok = np.allclose(y, ard.astype(np.float32) @ xk, rtol=1e-4, atol=1e-5)
+print("spmm strip 700x700 k=64 ok=", ok)
+yv = np.asarray(spmv(t, xk[:, 0]))
+okv = np.allclose(yv, ard.astype(np.float32) @ xk[:, 0], rtol=1e-4, atol=1e-5)
+print("spmv ok=", okv)
+fails += (not ok) + (not okv)
+
+# rectangular A @ B on hardware through the strip kernel
+br = CSR.from_coo(rng.integers(0, 300, 5000), rng.integers(0, 900, 5000),
+                  rng.normal(size=5000), (300, 900))
+arect = CSR.from_coo(rng.integers(0, 700, 8000), rng.integers(0, 300, 8000),
+                     rng.normal(size=8000), (700, 300))
+from spgemm_tpu.ops.spgemm import spgemm
+from spgemm_tpu.models.tile import tiles_to_csr
+atr = csr_to_tiles(arect, 16, 128)
+btr = csr_to_tiles(br, 128, 128)
+res = spgemm(atr, btr, backend="strip")
+okr = np.allclose(tiles_to_csr(res.c).to_dense(),
+                  arect.to_dense() @ br.to_dense(), rtol=1e-4, atol=1e-6)
+print("rect 700x300 @ 300x900 strip ok=", okr, res.stats["backend"])
+fails += not okr
+
+print("FAILS:", fails)
+sys.exit(1 if fails else 0)
