@@ -538,3 +538,98 @@ def spgemm_sharded_strip(
         args.ctrow, args.ctcol, keep_val.astype(np.float64), keep_cnt,
         (a.m, b.n), args.tm, args.tn,
     )
+
+
+# --- Ring (ppermute) variant: halo exchange instead of all-gather ----------
+
+
+def spgemm_sharded_ring(
+    a: TileMat,
+    b: TileMat,
+    mesh: Mesh,
+    *,
+    acc_dtype=jnp.float32,
+) -> TileMat:
+    """Distributed C = A @ B with B rotated around the ring instead of
+    all-gathered: each device holds one B k-shard at a time, computes the
+    partial Gustavson products for the k range it currently holds, and
+    passes the shard to its neighbour with `lax.ppermute` (the north-star
+    spec's halo-exchange formulation, SURVEY.md §2.7). Peak per-device B
+    memory is one shard (1/D of the all-gather variant), and each step's
+    compute overlaps the next rotation under XLA's scheduler."""
+    from spgemm_tpu.ops.gustavson import gustavson_core
+
+    ndev = mesh.devices.size
+    plan = plan_gustavson_partition(a, b, ndev)
+    gk, max_a, max_b = plan.gk, plan.max_a, plan.max_b
+    tm, tn = plan.tm, plan.tn
+    gk_shard = plan.b3_val.shape[1]
+    gk_pad = gk_shard * ndev
+    s_max = plan.s_max
+
+    # pad A slabs and the segment map over k to the sharded grid
+    a3v = np.zeros((ndev, gk_pad) + plan.a3_val.shape[2:],
+                   dtype=plan.a3_val.dtype)
+    a3o = np.zeros_like(a3v)
+    a3v[:, :gk] = plan.a3_val
+    a3o[:, :gk] = plan.a3_occ
+    seg = np.full((ndev, gk_pad, max_a * max_b), s_max, dtype=np.int32)
+    seg[:, :gk] = plan.seg.reshape(ndev, gk, max_a * max_b)
+
+    def device_fn(a3v, a3o, b3v, b3o, seg):
+        a3v, a3o, seg = a3v[0], a3o[0], seg[0]
+        bv, bo = b3v[0], b3o[0]
+        me = jax.lax.axis_index("x")
+        perm = [((d + 1) % ndev, d) for d in range(ndev)]
+
+        def step(s, carry):
+            cv, cc, bv, bo = carry
+            owner = (me + s) % ndev
+            k0 = owner * gk_shard
+            a3v_s = jax.lax.dynamic_slice_in_dim(a3v, k0, gk_shard, 0)
+            a3o_s = jax.lax.dynamic_slice_in_dim(a3o, k0, gk_shard, 0)
+            seg_s = jax.lax.dynamic_slice_in_dim(seg, k0, gk_shard, 0)
+            cv_p, cc_p = gustavson_core(
+                a3v_s, a3o_s, bv, bo, seg_s.reshape(-1),
+                gk=gk_shard, max_a=max_a, max_b=max_b,
+                tm=tm, tn=tn, nt_c=s_max, acc_dtype=acc_dtype,
+            )
+            bv = jax.lax.ppermute(bv, "x", perm)
+            bo = jax.lax.ppermute(bo, "x", perm)
+            return cv + cv_p, cc + cc_p, bv, bo
+
+        cv0 = jnp.zeros((s_max, tm, tn), acc_dtype)
+        cc0 = jnp.zeros((s_max, tm, tn), acc_dtype)
+        cv, cc, _, _ = jax.lax.fori_loop(
+            0, ndev, step, (cv0, cc0, bv, bo))
+        return cv[None], cc[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn,
+            mesh=mesh,
+            in_specs=(P("x"),) * 5,
+            out_specs=(P("x"), P("x")),
+            check_vma=False,
+        )
+    )
+    c_val_d, c_cnt_d = fn(
+        jnp.asarray(a3v), jnp.asarray(a3o),
+        jnp.asarray(plan.b3_val), jnp.asarray(plan.b3_occ),
+        jnp.asarray(seg),
+    )
+    c_val = np.asarray(c_val_d, dtype=np.float64)
+    c_cnt = np.asarray(c_cnt_d)
+    keep_val = np.concatenate(
+        [c_val[d, : plan.seg_counts[d]] for d in range(ndev)]
+    ) if plan.ctrow.size else np.zeros((0, tm, tn))
+    keep_cnt = np.concatenate(
+        [c_cnt[d, : plan.seg_counts[d]] for d in range(ndev)]
+    ) if plan.ctrow.size else np.zeros((0, tm, tn))
+
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    return _compact_to_tilemat(
+        plan.ctrow, plan.ctcol, keep_val, keep_cnt,
+        (a.m, b.n), a.tm, b.tn,
+    )

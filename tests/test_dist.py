@@ -129,3 +129,30 @@ def test_strip_partition_balances_pairs(make_random_csr):
     # no device should carry more than ~2x the fair share (block
     # granularity limits precision on tiny inputs)
     assert max(per_dev) <= 2.2 * total / ndev
+
+
+def test_sharded_ring_matches_golden(make_random_csr):
+    from spgemm_tpu.parallel.dist import make_mesh, spgemm_sharded_ring
+
+    a = make_random_csr(96, 96, 0.08)
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    c = spgemm_sharded_ring(at, bt, make_mesh(4))
+    ref = golden.spgemm_dense_row(a, a)
+    got = tiles_to_csr(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
+
+
+def test_sharded_ring_8dev(make_random_csr):
+    from spgemm_tpu.parallel.dist import make_mesh, spgemm_sharded_ring
+
+    a = make_random_csr(64, 80, 0.1)
+    b = make_random_csr(80, 48, 0.1)
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(b, 16, 16)
+    c = spgemm_sharded_ring(at, bt, make_mesh(8))
+    ref = golden.spgemm_dense_row(a, b)
+    got = tiles_to_csr(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
