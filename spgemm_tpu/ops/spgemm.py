@@ -80,7 +80,6 @@ def _compact_to_tilemat(
 def _verify_against(sched, c_val, c_cnt, ref) -> None:
     """SPGEMM_TPU_SELFCHECK=1: compare a strip-backend result against the
     independently-scheduled XLA pair backend; raises on mismatch."""
-    got_pat = np.asarray(c_cnt, dtype=np.float32) > 0
     ref_sched = ref.schedule
     # both candidate lists are sorted (row, col); align by key
     key_a = sched.ctrow.astype(np.int64) * (2**32) + sched.ctcol

@@ -95,5 +95,17 @@ okr = np.allclose(tiles_to_csr(res.c).to_dense(),
 print("rect 700x300 @ 300x900 strip ok=", okr, res.stats["backend"])
 fails += not okr
 
+# distributed paths on a single-device mesh (multi-chip logic, D=1)
+from spgemm_tpu.parallel.dist import (make_mesh, spgemm_sharded,
+                                      spgemm_sharded_ring)
+mesh1 = make_mesh(1)
+tsm = csr_to_tiles(ar, 16, 16)
+for fn, tag in ((spgemm_sharded, "sharded"), (spgemm_sharded_ring, "ring")):
+    cs = fn(tsm, tsm, mesh1)
+    from spgemm_tpu.models.tile import tiles_to_csr as t2c
+    okd = np.allclose(t2c(cs).to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
+    print(f"dist {tag} (mesh=1) ok= {okd}")
+    fails += not okd
+
 print("FAILS:", fails)
 sys.exit(1 if fails else 0)
