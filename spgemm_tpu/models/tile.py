@@ -158,6 +158,17 @@ class TileMat:
         out[rows, cols] = self.val
         return out
 
+    def occ_dense_padded(self) -> np.ndarray:
+        """Full dense structural-occupancy matrix padded to the tile grid,
+        (gm*tm, gn*tn) uint8 — 1 wherever a value is STORED (explicit
+        zeros included; pattern must not depend on values)."""
+        t = self.tile_ids_expanded()
+        rows = self.trow[t].astype(np.int64) * self.tm + self.rc // self.tn
+        cols = self.tcol[t].astype(np.int64) * self.tn + self.rc % self.tn
+        out = np.zeros((self.gm * self.tm, self.gn * self.tn), dtype=np.uint8)
+        out[rows, cols] = 1
+        return out
+
     def occ_from_mask(self) -> np.ndarray:
         """occ() recomputed from the packed bitmask words (reference
         semantics check; used by tests to validate mask construction)."""

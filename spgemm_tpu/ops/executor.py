@@ -122,12 +122,12 @@ class StripExecutor:
         round-trip latency — on tunneled TPU setups a single dispatch
         measures the tunnel, not the chip. Returns (numeric_ms, rtt_ms).
         """
-        import time as _time
-
         from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
 
         kwargs = dict(self.args.kernel_kwargs(),
                       acc_dtype=self.acc_dtype, interpret=self.interpret)
+
+        from spgemm_tpu.utils.timing import chained_device_ms
 
         @jax.jit
         def chain(av, *rest):
@@ -137,25 +137,8 @@ class StripExecutor:
                 return acc + jnp.sum(cv).astype(jnp.float32)
             return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
 
-        @jax.jit
-        def trivial(x):
-            return jnp.sum(x)
-
-        float(trivial(self._dev[4]))
-        rtts = []
-        for _ in range(3):
-            t0 = _time.perf_counter()
-            float(trivial(self._dev[4]))
-            rtts.append((_time.perf_counter() - t0) * 1e3)
-        rtt_ms = min(rtts)
-
-        float(chain(*self._dev))  # compile
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = _time.perf_counter()
-            float(chain(*self._dev))
-            best = min(best, (_time.perf_counter() - t0) * 1e3)
-        return max(0.0, best - rtt_ms) / loop, rtt_ms
+        return chained_device_ms(chain, self._dev[4], *self._dev,
+                                 repeats=repeats, loop=loop)
 
     @classmethod
     def from_args(cls, args, *, acc_dtype=jnp.float32,

@@ -169,11 +169,12 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
 
 
 def _dense_bytes(a: TileMat, b: TileMat) -> int:
-    """HBM bytes the dense backend needs (padded A, B, C values f32 +
-    occupancy bf16)."""
+    """Peak HBM bytes the dense backend needs: A/B values f32 + bf16
+    occupancy (6 B/elt), C values AND counts both f32 (8 B/elt), plus
+    the reshape/transpose temporaries of the tile cut (~another C)."""
     m_pad, k_pad = a.gm * a.tm, a.gn * a.tn
     n_pad = b.gn * b.tn
-    return (m_pad * k_pad + k_pad * n_pad + m_pad * n_pad) * 6
+    return (m_pad * k_pad + k_pad * n_pad) * 6 + m_pad * n_pad * 16
 
 
 def spgemm(
@@ -228,7 +229,7 @@ def spgemm(
     if backend == "dense":
         return _spgemm_dense(
             a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
-            note=note,
+            device=device, note=note,
         )
 
     t0 = time.perf_counter()
@@ -498,6 +499,7 @@ def _spgemm_dense(
     *,
     compute_dtype=jnp.float32,
     acc_dtype=None,
+    device=None,
     note: str = "",
 ) -> SpGEMMResult:
     acc_dtype = acc_dtype or compute_dtype
@@ -507,12 +509,14 @@ def _spgemm_dense(
     tm, tn = a.tm, b.tn
 
     t0 = time.perf_counter()
-    ad_h = a.to_dense_padded(np.float32)
-    bd_h = b.to_dense_padded(np.float32)
-    ad = jnp.asarray(ad_h, dtype=compute_dtype)
-    bd = jnp.asarray(bd_h, dtype=compute_dtype)
-    ao = jnp.asarray(ad_h != 0, dtype=jnp.bfloat16)
-    bo = jnp.asarray(bd_h != 0, dtype=jnp.bfloat16)
+    ad = jnp.asarray(a.to_dense_padded(np.float32), dtype=compute_dtype)
+    bd = jnp.asarray(b.to_dense_padded(np.float32), dtype=compute_dtype)
+    # occupancy from the STORED pattern, not values — explicit zeros are
+    # structural (the reference's synthetic i%10 values include zeros)
+    ao = jnp.asarray(a.occ_dense_padded(), dtype=jnp.bfloat16)
+    bo = jnp.asarray(b.occ_dense_padded(), dtype=jnp.bfloat16)
+    if device is not None:
+        ad, bd, ao, bo = jax.device_put((ad, bd, ao, bo), device)
     jax.block_until_ready((ad, bd, ao, bo))
     timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
     timings["symbolic_ms"] = 0.0  # pattern rides the occupancy matmul
@@ -563,6 +567,8 @@ def time_dense(a: TileMat, b: TileMat, *, loop: int = 10, repeats: int = 2,
     bo = jax.device_put(jnp.asarray(bd_h != 0, dtype=jnp.bfloat16))
     jax.block_until_ready((ad, bd, ao, bo))
 
+    from spgemm_tpu.utils.timing import chained_device_ms
+
     @jax.jit
     def chain(ad, ao, bd, bo):
         def body(i, acc):
@@ -572,21 +578,6 @@ def time_dense(a: TileMat, b: TileMat, *, loop: int = 10, repeats: int = 2,
             return acc + jnp.sum(cv4).astype(jnp.float32)
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
 
-    @jax.jit
-    def trivial(x):
-        return jnp.sum(x)
-
-    float(trivial(ad))
-    rtts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(trivial(ad))
-        rtts.append((time.perf_counter() - t0) * 1e3)
-    rtt_ms = min(rtts)
-    float(chain(ad, ao, bd, bo))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(chain(ad, ao, bd, bo))
-        best = min(best, (time.perf_counter() - t0) * 1e3)
-    return max(0.0, best - rtt_ms) / loop, rtt_ms
+    probe = jax.device_put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, ad, ao, bd, bo,
+                             repeats=repeats, loop=loop)

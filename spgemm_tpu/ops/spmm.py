@@ -135,12 +135,10 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
     return y[:, 0] if vec else y
 
 
-def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
-                block_rows: int = 64) -> jax.Array:
-    import jax as _jax
-
+def _pack_spmm_operands(a: TileMat, x: np.ndarray, k_pad: int, dtype,
+                        block_rows: int):
+    """Shared operand packing for the strip SpMM kernel and its timer."""
     from spgemm_tpu.models.csr import INDEX_DTYPE
-    from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
 
     k = x.shape[1]
     np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -148,10 +146,9 @@ def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
     xb.reshape(a.gn * a.tn, k_pad)[: a.n, :k] = x
 
     aptr64 = a.tptr.astype(np.int64)
-    starts = np.arange(0, a.gm + 1, block_rows)
-    if starts.size == 0 or starts[-1] != a.gm:
-        starts = np.append(starts, a.gm)
-    per_block = np.diff(aptr64[np.minimum(starts, a.gm)])
+    starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_block = np.diff(aptr64[starts])
     max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
 
     a_dense = np.zeros((a.nt + max_ablock, a.tm, a.tn), dtype=np_dtype)
@@ -160,11 +157,21 @@ def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
     ak[: a.nt] = a.tcol
     arow = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
     arow[: a.nt] = a.trow
+    aptr = a.tptr.astype(INDEX_DTYPE)
+    return a_dense, xb, aptr, ak, arow, max_ablock
 
+
+def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
+                block_rows: int = 64) -> jax.Array:
+    import jax as _jax
+
+    from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
+
+    a_dense, xb, aptr, ak, arow, max_ablock = _pack_spmm_operands(
+        a, x, k_pad, dtype, block_rows)
     y = spmm_strip_pallas(
         jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
-        jnp.asarray(a.tptr.astype(INDEX_DTYPE)), jnp.asarray(ak),
-        jnp.asarray(arow),
+        jnp.asarray(aptr), jnp.asarray(ak), jnp.asarray(arow),
         gm=a.gm, max_ablock=max_ablock, block_rows=block_rows,
         interpret=_jax.default_backend() == "cpu",
     )
@@ -178,42 +185,26 @@ def spmv(a: TileMat, x, *, dtype=jnp.float32) -> jax.Array:
 
 def time_spmm(a: TileMat, x, *, loop: int = 20, repeats: int = 2,
               dtype=jnp.float32) -> tuple[float, float]:
-    """Amortized per-dispatch device time for the strip SpMM kernel:
-    chains `loop` dispatches through a data dependency and subtracts the
-    measured host round-trip (see StripExecutor.time_numeric).
+    """Amortized per-dispatch device time for the strip SpMM kernel
+    (chained dispatches, RTT-subtracted; see utils.timing.chained_device_ms).
     Returns (spmm_ms, rtt_ms). Requires the strip path to be feasible."""
-    import time as _time
-
     import jax as _jax
 
-    from spgemm_tpu.models.csr import INDEX_DTYPE
     from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
+    from spgemm_tpu.utils.timing import chained_device_ms
 
     x = np.asarray(x)
-    k = x.shape[1]
-    k_pad = max(128, -(-k // 128) * 128)
+    k_pad = max(128, -(-x.shape[1] // 128) * 128)
     if not _strip_spmm_feasible(a, k_pad):
         raise ValueError("strip SpMM infeasible for this matrix/k")
-    np_dtype = np.dtype(jnp.dtype(dtype).name)
     block_rows = 64
-    xb = np.zeros((a.gn, a.tn, k_pad), dtype=np_dtype)
-    xb.reshape(a.gn * a.tn, k_pad)[: a.n, :k] = x
-    aptr64 = a.tptr.astype(np.int64)
-    starts = np.minimum(
-        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
-    per_block = np.diff(aptr64[starts])
-    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
-    a_dense = np.zeros((a.nt + max_ablock, a.tm, a.tn), dtype=np_dtype)
-    a_dense[: a.nt] = a.dense(np_dtype)
-    ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
-    ak[: a.nt] = a.tcol
-    arow = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
-    arow[: a.nt] = a.trow
+    ops = _pack_spmm_operands(a, x, k_pad, dtype, block_rows)
+    a_dense, xb, aptr, ak, arow, max_ablock = ops
     interpret = _jax.default_backend() == "cpu"
-    dev = jax.device_put((
-        jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
-        jnp.asarray(a.tptr.astype(INDEX_DTYPE)), jnp.asarray(ak),
-        jnp.asarray(arow)))
+    dev = jax.device_put((jnp.asarray(a_dense, dtype=dtype),
+                          jnp.asarray(xb, dtype=dtype),
+                          jnp.asarray(aptr), jnp.asarray(ak),
+                          jnp.asarray(arow)))
     jax.block_until_ready(dev)
     kwargs = dict(gm=a.gm, max_ablock=max_ablock, block_rows=block_rows,
                   interpret=interpret)
@@ -225,21 +216,4 @@ def time_spmm(a: TileMat, x, *, loop: int = 20, repeats: int = 2,
             return acc + jnp.sum(y).astype(jnp.float32)
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
 
-    @jax.jit
-    def trivial(v):
-        return jnp.sum(v)
-
-    float(trivial(dev[2]))
-    rtts = []
-    for _ in range(3):
-        t0 = _time.perf_counter()
-        float(trivial(dev[2]))
-        rtts.append((_time.perf_counter() - t0) * 1e3)
-    rtt_ms = min(rtts)
-    float(chain(*dev))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = _time.perf_counter()
-        float(chain(*dev))
-        best = min(best, (_time.perf_counter() - t0) * 1e3)
-    return max(0.0, best - rtt_ms) / loop, rtt_ms
+    return chained_device_ms(chain, dev[2], *dev, repeats=repeats, loop=loop)

@@ -582,8 +582,11 @@ def spgemm_sharded_ring(
         me = jax.lax.axis_index("x")
         perm = [((d + 1) % ndev, d) for d in range(ndev)]
 
-        def step(s, carry):
-            cv, cc, bv, bo = carry
+        cv = jnp.zeros((s_max, tm, tn), acc_dtype)
+        cc = jnp.zeros((s_max, tm, tn), acc_dtype)
+        # static unroll: ndev is a mesh constant, and the final rotation
+        # (whose result would be discarded) is skipped
+        for s in range(ndev):
             owner = (me + s) % ndev
             k0 = owner * gk_shard
             a3v_s = jax.lax.dynamic_slice_in_dim(a3v, k0, gk_shard, 0)
@@ -594,14 +597,11 @@ def spgemm_sharded_ring(
                 gk=gk_shard, max_a=max_a, max_b=max_b,
                 tm=tm, tn=tn, nt_c=s_max, acc_dtype=acc_dtype,
             )
-            bv = jax.lax.ppermute(bv, "x", perm)
-            bo = jax.lax.ppermute(bo, "x", perm)
-            return cv + cv_p, cc + cc_p, bv, bo
-
-        cv0 = jnp.zeros((s_max, tm, tn), acc_dtype)
-        cc0 = jnp.zeros((s_max, tm, tn), acc_dtype)
-        cv, cc, _, _ = jax.lax.fori_loop(
-            0, ndev, step, (cv0, cc0, bv, bo))
+            cv = cv + cv_p
+            cc = cc + cc_p
+            if s + 1 < ndev:
+                bv = jax.lax.ppermute(bv, "x", perm)
+                bo = jax.lax.ppermute(bo, "x", perm)
         return cv[None], cc[None]
 
     fn = jax.jit(

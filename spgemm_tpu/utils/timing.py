@@ -58,3 +58,35 @@ def device_trace(label: str = "spgemm"):
     with jax.profiler.trace(trace_dir):
         with jax.profiler.TraceAnnotation(label):
             yield
+
+
+def chained_device_ms(chain_fn, probe, *chain_args, repeats: int = 3,
+                      loop: int = 1) -> tuple[float, float]:
+    """Amortized per-dispatch device time for a jitted `chain_fn` that
+    internally chains `loop` dispatches through a data dependency and
+    returns one scalar. Measures wall time around the chain and subtracts
+    the host round-trip latency (measured with a trivial reduction over
+    `probe`) — on tunneled TPU setups a single dispatch measures the
+    tunnel, not the chip. Returns (per_dispatch_ms, rtt_ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _trivial(x):
+        return jnp.sum(x)
+
+    float(_trivial(probe))
+    rtts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(_trivial(probe))
+        rtts.append((time.perf_counter() - t0) * 1e3)
+    rtt_ms = min(rtts)
+
+    float(chain_fn(*chain_args))  # compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(chain_fn(*chain_args))
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return max(0.0, best - rtt_ms) / loop, rtt_ms

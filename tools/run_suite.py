@@ -194,14 +194,18 @@ def main(argv=None) -> int:
                 from spgemm_tpu.models.tile import csr_to_tiles as c2t
                 from spgemm_tpu.ops.spgemm import time_dense
 
-                a_t = c2t(a, args.tm, args.tn)
-                b_t = (c2t(a.transpose(), args.tn, args.tn) if aat
-                       else (a_t if args.tm == args.tn
-                             else c2t(a, args.tn, args.tn)))
-                ms, _ = time_dense(a_t, b_t)
-                dev_ms = round(ms, 3)
-                dev_gflops = (round(2 * nnz_cub / (ms * 1e6), 2)
-                              if ms else "")
+                try:
+                    a_t = c2t(a, args.tm, args.tn)
+                    b_t = (c2t(a.transpose(), args.tn, args.tn) if aat
+                           else (a_t if args.tm == args.tn
+                                 else c2t(a, args.tn, args.tn)))
+                    ms, _ = time_dense(a_t, b_t)
+                    dev_ms = round(ms, 3)
+                    dev_gflops = (round(2 * nnz_cub / (ms * 1e6), 2)
+                                  if ms else "")
+                except (ValueError, RuntimeError) as e:
+                    print(f"  (device timing skipped: {str(e)[:120]})",
+                          flush=True)
             csv_sink.append_row(
                 summary,
                 ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",

@@ -25,7 +25,7 @@ ref_sq = ad @ ad
 ref_aat = ad @ ad.T
 
 fails = 0
-for backend in ("strip", "gustavson", "xla"):
+for backend in ("strip", "gustavson", "dense", "xla"):
     c, res = spgemm_csr(a, backend=backend)
     got = c.to_dense()
     ok = np.allclose(got, ref_sq, rtol=1e-5, atol=1e-8)
