@@ -176,3 +176,19 @@ def test_dense_backend_structural_zeros():
     res = spgemm(at, bt, backend="dense")
     c = res.c.to_csr()
     assert c.nnz == 1 and c.data[0] == 0.0  # structural zero kept
+
+
+@pytest.mark.parametrize("backend", ["strip", "gustavson", "dense", "xla"])
+def test_stored_zero_inputs_are_structural(backend):
+    """The reference overwrites values with i%10, which INCLUDES zeros
+    (main.cu:111-112): a stored zero is a structural nonzero and must
+    contribute to C's pattern on every backend."""
+    a = CSR.from_coo([0, 1], [0, 0], [0.0, 2.0], (2, 2))
+    b = CSR.from_coo([0], [0], [3.0], (2, 2))
+    at, bt = csr_to_tiles(a, 2, 2), csr_to_tiles(b, 2, 2)
+    res = spgemm(at, bt, backend=backend)
+    c = res.c.to_csr()
+    # row 0: structural (0*3 = 0, kept); row 1: 2*3 = 6
+    assert c.nnz == 2, f"{backend}: stored-zero row lost ({c.nnz=})"
+    d = c.to_dense()
+    assert d[1, 0] == 6.0 and d[0, 0] == 0.0
