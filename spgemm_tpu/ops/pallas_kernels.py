@@ -748,3 +748,140 @@ def spmm_strip_pallas(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(aptr, ak, arow, a_dense, xb)
+
+
+def _spmm_window_kernel_factory(tm, tk, k, max_ablock, block_rows, gm,
+                                n_blocks, kwin, precision):
+    """Windowed-X SpMM: when X exceeds VMEM but each block's A tiles span
+    a small contiguous k range, stream the X window per block with one
+    prefetched DMA (same pattern as the windowed SpGEMM strip kernel)."""
+
+    def kernel(
+        aptr_ref,    # (gm+1,)
+        ak_ref,      # (ntA_pad,)
+        arow_ref,    # (ntA_pad,)
+        kmin_ref,    # (n_blocks,)
+        a_ref,       # (ntA_pad, tm, tk) HBM
+        x_ref,       # (gk_pad, tk, k) HBM
+        y_ref,       # (n_blocks*block_rows, tm, k) HBM
+        a_sc,        # VMEM (2, max_ablock, tm, tk)
+        x_sc,        # VMEM (2, kwin, tk, k)
+        y_sc,        # VMEM (2, block_rows, tm, k)
+        a_sem,       # DMA (2,)
+        x_sem,       # DMA (2,)
+        y_sem,       # DMA (2,)
+    ):
+        blk = pl.program_id(0)
+        buf = blk % 2
+
+        def in_dmas(p, slot):
+            return (
+                pltpu.make_async_copy(
+                    a_ref.at[pl.ds(aptr_ref[p * block_rows], max_ablock)],
+                    a_sc.at[slot], a_sem.at[slot]),
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(kmin_ref[p], kwin)],
+                    x_sc.at[slot], x_sem.at[slot]),
+            )
+
+        def y_dma(p, slot):
+            return pltpu.make_async_copy(
+                y_sc.at[slot],
+                y_ref.at[pl.ds(p * block_rows, block_rows)],
+                y_sem.at[slot])
+
+        @pl.when(blk == 0)
+        def _():
+            for d in in_dmas(0, 0):
+                d.start()
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            for d in in_dmas(blk + 1, 1 - buf):
+                d.start()
+
+        for d in in_dmas(blk, buf):
+            d.wait()
+
+        @pl.when(blk >= 2)
+        def _():
+            y_dma(blk - 2, buf).wait()
+
+        y_sc[buf] = jnp.zeros_like(y_sc[buf])
+
+        i0 = blk * block_rows
+        a_lo = aptr_ref[i0]
+        a_hi = aptr_ref[jnp.minimum(i0 + block_rows, gm)]
+        klo = kmin_ref[blk]
+
+        def t_body(g, _):
+            r = arow_ref[g] - i0
+            prod = jnp.dot(
+                a_sc[buf, g - a_lo], x_sc[buf, ak_ref[g] - klo],
+                preferred_element_type=y_sc.dtype,
+                precision=precision,
+            )
+            y_sc[buf, r] += prod
+            return 0
+
+        jax.lax.fori_loop(a_lo, a_hi, t_body, 0)
+
+        y_dma(blk, buf).start()
+
+        @pl.when(blk == n_blocks - 1)
+        def _():
+            @pl.when(blk >= 1)
+            def _():
+                y_dma(blk - 1, 1 - buf).wait()
+
+            y_dma(blk, buf).wait()
+
+    return kernel
+
+
+def spmm_window_pallas(
+    a_dense: jax.Array,   # (ntA_pad, tm, tk)
+    xb: jax.Array,        # (gk_pad, tk, k)
+    aptr: jax.Array,      # (gm+1,)
+    ak: jax.Array,        # (ntA_pad,)
+    arow: jax.Array,      # (ntA_pad,)
+    kmin: jax.Array,      # (n_blocks,)
+    *,
+    gm: int,
+    max_ablock: int,
+    kwin: int,
+    block_rows: int = 64,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+) -> jax.Array:
+    """Windowed-X SpMM; returns Y as (n_blocks*block_rows, tm, k), rows
+    past gm are garbage padding (callers slice [:gm])."""
+    _, tm, tk = a_dense.shape
+    k = xb.shape[2]
+    n_blocks = max(1, -(-gm // block_rows))
+    kernel = _spmm_window_kernel_factory(
+        tm, tk, k, max_ablock, block_rows, gm, n_blocks, kwin, precision)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, max_ablock, tm, tk), a_dense.dtype),
+            pltpu.VMEM((2, kwin, tk, k), xb.dtype),
+            pltpu.VMEM((2, block_rows, tm, k), a_dense.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_blocks * block_rows, tm, k), a_dense.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(aptr, ak, arow, kmin, a_dense, xb)

@@ -75,24 +75,50 @@ def _spmm_tiles(
     return y
 
 
-def _strip_spmm_feasible(a: TileMat, k_pad: int,
-                         block_rows: int = 64) -> bool:
-    """The Pallas SpMM kernel needs 128-aligned DMA minor dims and X,
-    the double-buffered A block slab, and Y staging resident in VMEM."""
+def _spmm_block_stats(a: TileMat, block_rows: int):
+    """(max_ablock, kmin per block, max k-span per block)."""
+    aptr64 = a.tptr.astype(np.int64)
+    starts = np.minimum(
+        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
+    per_block = np.diff(aptr64[starts])
+    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+    n_blocks = max(1, -(-a.gm // block_rows))
+    row_starts = np.arange(0, a.gm, block_rows)
+    if a.nt and row_starts.size:
+        ak64 = a.tcol.astype(np.int64)
+        row_has = np.diff(aptr64) > 0
+        firstk = np.where(row_has, ak64[np.minimum(aptr64[:-1], a.nt - 1)],
+                          a.gn)
+        lastk = np.where(row_has, ak64[np.maximum(aptr64[1:] - 1, 0)], -1)
+        blk_min = np.minimum.reduceat(firstk, row_starts)
+        blk_max = np.maximum.reduceat(lastk, row_starts)
+        bad = blk_max < blk_min
+        blk_min[bad] = 0
+        blk_max[bad] = 0
+        span = max(1, int((blk_max - blk_min + 1).max()))
+    else:
+        blk_min = np.zeros(n_blocks, np.int64)
+        span = 1
+    return max_ablock, blk_min, span
+
+
+def _spmm_mode(a: TileMat, k_pad: int, block_rows: int = 64) -> str:
+    """'resident' (X fully in VMEM), 'window' (per-block contiguous X
+    window), or 'xla' (gather fallback)."""
     import jax as _jax
 
     if _jax.default_backend() == "cpu":
-        return True  # interpret mode has no alignment/VMEM limits
+        return "resident"  # interpret mode has no alignment/VMEM limits
     if a.tn % 128 != 0 or a.tm % 8 != 0:
-        return False
-    starts = np.minimum(
-        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
-    per_block = np.diff(a.tptr.astype(np.int64)[starts])
-    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
-    vmem = (a.gn * a.tn * k_pad * 4                       # X resident
-            + 2 * max_ablock * a.tm * a.tn * 4            # A double buffer
-            + 2 * block_rows * a.tm * k_pad * 4)          # Y staging
-    return vmem <= 100 * 1024 * 1024
+        return "xla"
+    max_ablock, _, span = _spmm_block_stats(a, block_rows)
+    fixed = (2 * max_ablock * a.tm * a.tn * 4          # A double buffer
+             + 2 * block_rows * a.tm * k_pad * 4)      # Y staging
+    if a.gn * a.tn * k_pad * 4 + fixed <= 100 * 1024 * 1024:
+        return "resident"
+    if 2 * span * a.tn * k_pad * 4 + fixed <= 100 * 1024 * 1024:
+        return "window"
+    return "xla"
 
 
 def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Array:
@@ -116,11 +142,13 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
 
     f64 = jnp.dtype(dtype) == jnp.dtype(np.float64)
     hw_ok = _jax.default_backend() == "cpu" or not f64  # no f64 MXU path
-    use_strip = backend == "strip" or (
-        backend == "auto" and hw_ok and _strip_spmm_feasible(a, k_pad)
-    )
-    if use_strip:
-        y = _spmm_strip(a, x, k_pad, dtype)
+    mode = _spmm_mode(a, k_pad) if (hw_ok and backend == "auto") else "xla"
+    if backend == "strip":
+        mode = _spmm_mode(a, k_pad)
+        if mode == "xla":
+            raise ValueError("strip SpMM infeasible (alignment/VMEM)")
+    if mode in ("resident", "window"):
+        y = _spmm_strip(a, x, k_pad, dtype, mode=mode)
     else:
         pad = a.gn * a.tn - a.n
         xb = np.pad(x, ((0, pad), (0, 0))).reshape(a.gn, a.tn, k)
@@ -162,19 +190,38 @@ def _pack_spmm_operands(a: TileMat, x: np.ndarray, k_pad: int, dtype,
 
 
 def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
-                block_rows: int = 64) -> jax.Array:
+                block_rows: int = 64, mode: str = "resident") -> jax.Array:
     import jax as _jax
 
-    from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+    from spgemm_tpu.ops.pallas_kernels import (spmm_strip_pallas,
+                                               spmm_window_pallas)
 
     a_dense, xb, aptr, ak, arow, max_ablock = _pack_spmm_operands(
         a, x, k_pad, dtype, block_rows)
-    y = spmm_strip_pallas(
-        jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
-        jnp.asarray(aptr), jnp.asarray(ak), jnp.asarray(arow),
-        gm=a.gm, max_ablock=max_ablock, block_rows=block_rows,
-        interpret=_jax.default_backend() == "cpu",
-    )
+    interpret = _jax.default_backend() == "cpu"
+    if mode == "window":
+        _, blk_min, kwin = _spmm_block_stats(a, block_rows)
+        gk_pad = max(a.gn, kwin)
+        if xb.shape[0] < gk_pad:
+            xb = np.concatenate(
+                [xb, np.zeros((gk_pad - xb.shape[0],) + xb.shape[1:],
+                              dtype=xb.dtype)])
+        kmin = np.clip(blk_min, 0, gk_pad - kwin).astype(INDEX_DTYPE)
+        y = spmm_window_pallas(
+            jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
+            jnp.asarray(aptr), jnp.asarray(ak), jnp.asarray(arow),
+            jnp.asarray(kmin),
+            gm=a.gm, max_ablock=max_ablock, kwin=kwin,
+            block_rows=block_rows, interpret=interpret,
+        )
+    else:
+        y = spmm_strip_pallas(
+            jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
+            jnp.asarray(aptr), jnp.asarray(ak), jnp.asarray(arow),
+            gm=a.gm, max_ablock=max_ablock, block_rows=block_rows,
+            interpret=interpret,
+        )
     return y.reshape(-1, k_pad)[: a.gm * a.tm]
 
 
@@ -195,8 +242,9 @@ def time_spmm(a: TileMat, x, *, loop: int = 20, repeats: int = 2,
 
     x = np.asarray(x)
     k_pad = max(128, -(-x.shape[1] // 128) * 128)
-    if not _strip_spmm_feasible(a, k_pad):
-        raise ValueError("strip SpMM infeasible for this matrix/k")
+    if _spmm_mode(a, k_pad) != "resident":
+        raise ValueError("strip SpMM (resident X) infeasible for this "
+                         "matrix/k; time the window mode via spmm()")
     block_rows = 64
     ops = _pack_spmm_operands(a, x, k_pad, dtype, block_rows)
     a_dense, xb, aptr, ak, arow, max_ablock = ops
