@@ -41,3 +41,37 @@ def test_fuzz_backend_vs_oracle(case, backend):
     assert got.pattern_equal(ref), f"{backend} pattern mismatch on {case}"
     np.testing.assert_allclose(got.data, ref.data, rtol=1e-5, atol=1e-8,
                                err_msg=f"{backend} values on {case}")
+
+
+def _check_auto(a):
+    at = csr_to_tiles(a, 16, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    res = spgemm(at, bt, backend="auto")
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(res.c.to_csr())
+    assert got.allclose(ref, rtol=1e-5)
+
+
+def test_adversarial_holey_band():
+    """Empty block ranges in the middle of the matrix (windowed-B kmin
+    defaults for empty blocks)."""
+    rng = np.random.default_rng(3)
+    n = 400
+    offs = np.arange(-5, 6)
+    r = np.repeat(np.arange(n), offs.size)
+    c = r + np.tile(offs, n)
+    keep = (c >= 0) & (c < n) & ~((r > n * 0.3) & (r < n * 0.6))
+    _check_auto(CSR.from_coo(
+        r[keep], c[keep],
+        rng.integers(1, 9, keep.sum()).astype(float), (n, n)))
+
+
+def test_adversarial_antidiagonal():
+    """k decreasing with row — stresses per-block k-window minima."""
+    rng = np.random.default_rng(4)
+    n = 300
+    r = np.repeat(np.arange(n), 5)
+    c = (n - 1 - r) + np.tile(np.arange(-2, 3), n)
+    m = (c >= 0) & (c < n)
+    _check_auto(CSR.from_coo(
+        r[m], c[m], rng.integers(1, 9, m.sum()).astype(float), (n, n)))
