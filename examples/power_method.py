@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Power iteration (dominant eigenvalue) driven by the framework's SpMV —
-the classic iterative-solver pattern SpMM/SpMV kernels exist for. The
-iteration state stays on device; only the final eigenvalue is fetched.
+the classic iterative-solver pattern SpMM/SpMV kernels exist for. A is
+packed and uploaded ONCE; each iteration is a single jitted dispatch
+whose input and output vectors stay on device (only per-iteration
+scalars and the final eigenvalue reach the host).
 
 Usage: python examples/power_method.py [n] [band]
 """
@@ -42,13 +44,36 @@ def main():
     t = csr_to_tiles(a, 16, 128)
     print(f"A: {n}x{n}, nnz={a.nnz}")
 
+    # pack + upload A once; build a jitted device-resident step
+    from spgemm_tpu.ops.pallas_kernels import spmm_strip_pallas
+    from spgemm_tpu.ops.spmm import _pack_spmm_operands
+
+    k_pad = 128
+    a_dense, _, aptr, ak, arow, max_ablock = _pack_spmm_operands(
+        t, np.zeros((n, 1), np.float32), k_pad, jnp.float32, 64)
+    dev = jax.device_put(tuple(map(jnp.asarray,
+                                   (a_dense, aptr, ak, arow))))
+    n_pad = t.gn * t.tn
+
+    @jax.jit
+    def step(x):
+        xb = jnp.zeros((n_pad, k_pad), jnp.float32)
+        xb = xb.at[:n, 0].set(x).reshape(t.gn, t.tn, k_pad)
+        y4 = spmm_strip_pallas(
+            dev[0], xb, dev[1], dev[2], dev[3],
+            gm=t.gm, max_ablock=max_ablock, block_rows=64,
+            interpret=jax.default_backend() == "cpu",
+        )
+        y = y4.reshape(-1, k_pad)[:n, 0]
+        lam = jnp.vdot(x, y)
+        return y / jnp.linalg.norm(y), lam
+
     x = jnp.ones(n, jnp.float32) / np.sqrt(n)
     lam = 0.0
     for it in range(150):
-        y = spmm(t, np.asarray(x))          # y = A x (Pallas SpMV)
-        y = jnp.asarray(y)
-        lam = float(jnp.vdot(x, y))
-        x = y / jnp.linalg.norm(y)
+        x, lam_d = step(x)                  # one dispatch; x stays on device
+        lam = lam_d
+    lam = float(lam)
     print(f"dominant eigenvalue (power iteration): {lam:.6f}")
 
     # dense reference for moderate n

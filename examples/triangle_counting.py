@@ -35,19 +35,16 @@ def count_triangles(adj: CSR) -> int:
     a2, res = spgemm_csr(adj, tm=16, tn=128)
     print(f"  A^2: nnz={a2.nnz}  backend={res.stats['backend']}  "
           f"numeric={res.timings_ms.get('numeric_ms', 0):.2f} ms")
-    # sum(A .* A^2): walk A's pattern, gather matching A^2 entries
-    total = 0.0
-    for i in range(adj.m):
-        cols_a = adj.indices[adj.indptr[i]:adj.indptr[i + 1]]
-        lo, hi = a2.indptr[i], a2.indptr[i + 1]
-        cols2 = a2.indices[lo:hi]
-        vals2 = a2.data[lo:hi]
-        pos = np.searchsorted(cols2, cols_a)
-        pos = np.clip(pos, 0, max(0, cols2.size - 1))
-        hit = cols2.size > 0
-        if hit:
-            match = cols2[pos] == cols_a
-            total += vals2[pos][match].sum()
+    # sum(A .* A^2), vectorized: A and A^2 rows are column-sorted, so one
+    # global searchsorted over (row, col) keys aligns every A entry with
+    # its A^2 slot (if present)
+    n64 = np.int64(adj.n)
+    key_a = adj.rows_expanded().astype(np.int64) * n64 + adj.indices
+    key_2 = a2.rows_expanded().astype(np.int64) * n64 + a2.indices
+    pos = np.searchsorted(key_2, key_a)
+    pos = np.clip(pos, 0, max(0, key_2.size - 1))
+    match = key_2.size > 0
+    total = float(a2.data[pos][key_2[pos] == key_a].sum()) if match else 0.0
     return int(round(total / 6))
 
 

@@ -102,32 +102,37 @@ def _spmm_block_stats(a: TileMat, block_rows: int):
     return max_ablock, blk_min, span
 
 
-def _spmm_mode(a: TileMat, k_pad: int, block_rows: int = 64) -> str:
-    """'resident' (X fully in VMEM), 'window' (per-block contiguous X
-    window), or 'xla' (gather fallback)."""
+def _spmm_mode(a: TileMat, k_pad: int, block_rows: int = 64):
+    """Returns (mode, stats) where mode is 'resident' (X fully in VMEM),
+    'window' (per-block contiguous X window), or 'xla' (gather fallback),
+    and stats = (max_ablock, kmin per block, max k-span) — computed once
+    and threaded to the packing/kernel stages."""
     import jax as _jax
 
+    stats = _spmm_block_stats(a, block_rows)
     if _jax.default_backend() == "cpu":
-        return "resident"  # interpret mode has no alignment/VMEM limits
+        return "resident", stats  # interpret mode: no alignment/VMEM limits
     if a.tn % 128 != 0 or a.tm % 8 != 0:
-        return "xla"
-    max_ablock, _, span = _spmm_block_stats(a, block_rows)
+        return "xla", stats
+    max_ablock, _, span = stats
     fixed = (2 * max_ablock * a.tm * a.tn * 4          # A double buffer
              + 2 * block_rows * a.tm * k_pad * 4)      # Y staging
     if a.gn * a.tn * k_pad * 4 + fixed <= 100 * 1024 * 1024:
-        return "resident"
+        return "resident", stats
     if 2 * span * a.tn * k_pad * 4 + fixed <= 100 * 1024 * 1024:
-        return "window"
-    return "xla"
+        return "window", stats
+    return "xla", stats
 
 
 def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Array:
     """Y = A @ X. x: (n, k) or (n,) array-like. Returns (m, k) / (m,).
 
-    backend "auto" uses the Pallas strip kernel (X resident in VMEM, A
-    streamed once — ops/pallas_kernels.py:spmm_strip_pallas) when tile
-    shapes and VMEM allow, else the XLA gather path. "xla" forces the
-    gather path; "strip" forces the kernel.
+    backend "auto" uses a Pallas kernel when tile shapes and VMEM allow
+    (X fully resident in VMEM when it fits — spmm_strip_pallas — else a
+    per-block contiguous X window, spmm_window_pallas), falling back to
+    the XLA gather path otherwise. "xla" forces the gather path; "strip"
+    requires a kernel mode and raises ValueError when neither fits
+    (alignment or VMEM).
     """
     x = np.asarray(x)
     vec = x.ndim == 1
@@ -142,13 +147,14 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
 
     f64 = jnp.dtype(dtype) == jnp.dtype(np.float64)
     hw_ok = _jax.default_backend() == "cpu" or not f64  # no f64 MXU path
-    mode = _spmm_mode(a, k_pad) if (hw_ok and backend == "auto") else "xla"
-    if backend == "strip":
-        mode = _spmm_mode(a, k_pad)
-        if mode == "xla":
-            raise ValueError("strip SpMM infeasible (alignment/VMEM)")
+    stats = None
+    mode = "xla"
+    if hw_ok and backend in ("auto", "strip"):
+        mode, stats = _spmm_mode(a, k_pad)
+    if backend == "strip" and mode == "xla":
+        raise ValueError("strip SpMM infeasible (alignment/VMEM)")
     if mode in ("resident", "window"):
-        y = _spmm_strip(a, x, k_pad, dtype, mode=mode)
+        y = _spmm_strip(a, x, k_pad, dtype, mode=mode, stats=stats)
     else:
         pad = a.gn * a.tn - a.n
         xb = np.pad(x, ((0, pad), (0, 0))).reshape(a.gn, a.tn, k)
@@ -164,7 +170,7 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
 
 
 def _pack_spmm_operands(a: TileMat, x: np.ndarray, k_pad: int, dtype,
-                        block_rows: int):
+                        block_rows: int, max_ablock: int | None = None):
     """Shared operand packing for the strip SpMM kernel and its timer."""
     from spgemm_tpu.models.csr import INDEX_DTYPE
 
@@ -173,11 +179,8 @@ def _pack_spmm_operands(a: TileMat, x: np.ndarray, k_pad: int, dtype,
     xb = np.zeros((a.gn, a.tn, k_pad), dtype=np_dtype)
     xb.reshape(a.gn * a.tn, k_pad)[: a.n, :k] = x
 
-    aptr64 = a.tptr.astype(np.int64)
-    starts = np.minimum(
-        np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
-    per_block = np.diff(aptr64[starts])
-    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+    if max_ablock is None:
+        max_ablock = _spmm_block_stats(a, block_rows)[0]
 
     a_dense = np.zeros((a.nt + max_ablock, a.tm, a.tn), dtype=np_dtype)
     a_dense[: a.nt] = a.dense(np_dtype)
@@ -190,24 +193,24 @@ def _pack_spmm_operands(a: TileMat, x: np.ndarray, k_pad: int, dtype,
 
 
 def _spmm_strip(a: TileMat, x: np.ndarray, k_pad: int, dtype,
-                block_rows: int = 64, mode: str = "resident") -> jax.Array:
+                block_rows: int = 64, mode: str = "resident",
+                stats=None) -> jax.Array:
     import jax as _jax
 
     from spgemm_tpu.models.csr import INDEX_DTYPE
     from spgemm_tpu.ops.pallas_kernels import (spmm_strip_pallas,
                                                spmm_window_pallas)
 
+    if stats is None:
+        stats = _spmm_block_stats(a, block_rows)
+    max_ablock, blk_min, kwin = stats
     a_dense, xb, aptr, ak, arow, max_ablock = _pack_spmm_operands(
-        a, x, k_pad, dtype, block_rows)
+        a, x, k_pad, dtype, block_rows, max_ablock=max_ablock)
     interpret = _jax.default_backend() == "cpu"
     if mode == "window":
-        _, blk_min, kwin = _spmm_block_stats(a, block_rows)
-        gk_pad = max(a.gn, kwin)
-        if xb.shape[0] < gk_pad:
-            xb = np.concatenate(
-                [xb, np.zeros((gk_pad - xb.shape[0],) + xb.shape[1:],
-                              dtype=xb.dtype)])
-        kmin = np.clip(blk_min, 0, gk_pad - kwin).astype(INDEX_DTYPE)
+        # kwin <= gn by construction, so xb (gn slabs) always covers the
+        # clipped windows
+        kmin = np.clip(blk_min, 0, a.gn - kwin).astype(INDEX_DTYPE)
         y = spmm_window_pallas(
             jnp.asarray(a_dense, dtype=dtype), jnp.asarray(xb, dtype=dtype),
             jnp.asarray(aptr), jnp.asarray(ak), jnp.asarray(arow),
@@ -242,7 +245,7 @@ def time_spmm(a: TileMat, x, *, loop: int = 20, repeats: int = 2,
 
     x = np.asarray(x)
     k_pad = max(128, -(-x.shape[1] // 128) * 128)
-    if _spmm_mode(a, k_pad) != "resident":
+    if _spmm_mode(a, k_pad)[0] != "resident":
         raise ValueError("strip SpMM (resident X) infeasible for this "
                          "matrix/k; time the window mode via spmm()")
     block_rows = 64

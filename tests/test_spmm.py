@@ -75,8 +75,6 @@ def test_spmm_window_mode(make_random_csr, rng):
     t = csr_to_tiles(a, 8, 16)
     x = rng.standard_normal((150, 8)).astype(np.float32)
     k_pad = 128
-    import numpy as _np
-    xw = _np.zeros((150, 8), np.float32); xw[:] = x
     y_res = np.asarray(_spmm_strip(t, x, k_pad, jnp.float32,
                                    block_rows=2, mode="resident"))
     y_win = np.asarray(_spmm_strip(t, x, k_pad, jnp.float32,
