@@ -276,6 +276,7 @@ class StripArgs:
     block_rows: int
     kwin: int | None = None   # windowed-B mode: contiguous k slabs/block
     kmin: np.ndarray | None = None  # (n_blocks,) window start per block
+    meta: np.ndarray | None = None  # (rows, 128) int32 per-tile metadata
     dtype: np.dtype = np.float32
     prep_ms: float = 0.0
     symbolic_ms: float = 0.0
@@ -288,7 +289,9 @@ class StripArgs:
     def device_args(self):
         base = (self.a_val, self.a_occ, self.b_val, self.b_occ,
                 self.aptr, self.ak, self.slots)
-        return base + ((self.kmin,) if self.kwin is not None else ())
+        if self.kwin is not None:
+            return base + (self.kmin, self.meta)
+        return base
 
     def vmem_bytes(self) -> int:
         from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
@@ -365,6 +368,30 @@ def _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock):
         - c_tptr[np.minimum(cblk * block_rows, a.gm)]
     )
     return c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c
+
+
+def block_k_stats(a: TileMat, block_rows: int):
+    """(kmin per block, max contiguous k-span) over blocks of tile-rows —
+    drives the windowed-B mode decision."""
+    nb_blocks = max(1, -(-a.gm // block_rows))
+    row_starts = np.arange(0, a.gm, block_rows)
+    aptr64 = a.tptr.astype(np.int64)
+    if a.nt and row_starts.size:
+        ak64 = a.tcol.astype(np.int64)
+        row_has = np.diff(aptr64) > 0
+        firstk = np.where(row_has, ak64[np.minimum(aptr64[:-1], a.nt - 1)],
+                          a.gn)
+        lastk = np.where(row_has, ak64[np.maximum(aptr64[1:] - 1, 0)], -1)
+        blk_min = np.minimum.reduceat(firstk, row_starts)
+        blk_max = np.maximum.reduceat(lastk, row_starts)
+        bad = blk_max < blk_min
+        blk_min[bad] = 0
+        blk_max[bad] = 0
+        span = max(1, int((blk_max - blk_min + 1).max()))
+    else:
+        blk_min = np.zeros(nb_blocks, np.int64)
+        span = 1
+    return blk_min, span
 
 
 def run_strip_symbolic(a: TileMat, b: TileMat, block_rows: int, max_b: int,
@@ -482,24 +509,9 @@ def build_strip_args(
     nb_blocks = max(1, -(-a.gm // block_rows))
     kwin = None
     kmin_arr = None
+    meta = None
     if window is None or window:
-        row_starts = np.arange(0, a.gm, block_rows)
-        if a.nt and row_starts.size:
-            ak64 = a.tcol.astype(np.int64)
-            row_has = np.diff(aptr64) > 0
-            firstk = np.where(
-                row_has, ak64[np.minimum(aptr64[:-1], a.nt - 1)], gk)
-            lastk = np.where(
-                row_has, ak64[np.maximum(aptr64[1:] - 1, 0)], -1)
-            blk_min = np.minimum.reduceat(firstk, row_starts)
-            blk_max = np.maximum.reduceat(lastk, row_starts)
-            bad = blk_max < blk_min
-            blk_min[bad] = 0
-            blk_max[bad] = 0
-            span = max(1, int((blk_max - blk_min + 1).max()))
-        else:
-            blk_min = np.zeros(nb_blocks, np.int64)
-            span = 1
+        blk_min, span = block_k_stats(a, block_rows)
         occ_elt = np.dtype(b_occ.dtype).itemsize
         both = dtype.itemsize + occ_elt
         win_total_vmem = (2 * max_ablock * tm * tk * both
@@ -519,6 +531,19 @@ def build_strip_args(
                 b_occ = np.concatenate(
                     [b_occ, np.zeros((pad,) + b_occ.shape[1:],
                                      dtype=b_occ.dtype)])
+            # per-tile metadata [k, slot_0..slot_{max_b-1}] in 128-wide
+            # HBM rows, DMAed per block into SMEM (no scalar-prefetch
+            # SMEM ceiling on matrix size)
+            W = 1 + max_b
+            nt_pad = a.nt + max_ablock
+            meta_flat = np.empty(nt_pad * W, dtype=np.int32)
+            mv = meta_flat[: nt_pad * W].reshape(nt_pad, W)
+            mv[:, 0] = ak
+            mv[:, 1:] = slots.reshape(nt_pad, max_b)
+            meta_rows_needed = (max_ablock * W) // 128 + 2
+            total_rows = -(-meta_flat.size // 128) + meta_rows_needed
+            meta = np.zeros((total_rows, 128), dtype=np.int32)
+            meta.reshape(-1)[: meta_flat.size] = meta_flat
         elif window:
             raise ValueError(
                 f"windowed strip mode infeasible: k span {span} slabs "
@@ -534,7 +559,8 @@ def build_strip_args(
         nt_c=nt_c, num_pairs=num_pairs,
         gm=a.gm, gn_c=b.gn, tm=tm, tk=tk, tn=tn, max_b=max_b,
         max_ablock=max_ablock, max_cblock=max_cblock,
-        block_rows=block_rows, kwin=kwin, kmin=kmin_arr, dtype=dtype,
+        block_rows=block_rows, kwin=kwin, kmin=kmin_arr, meta=meta,
+        dtype=dtype,
         prep_ms=prep_ms, symbolic_ms=symbolic_ms,
     )
 

@@ -401,21 +401,27 @@ def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
     """Windowed-B variant: each block's B slabs span a contiguous k range
     of at most `kwin` slabs (banded / locality-rich matrices), so B
     arrives by ONE prefetched DMA per block exactly like A — no cache
-    lookups, no per-iteration fetch branches."""
+    lookups, no per-iteration fetch branches. Per-tile metadata (tile-col
+    k and the max_b output slots) lives in HBM as 128-wide rows and is
+    DMAed per block into SMEM scratch, so scalar-prefetch size stays
+    O(gm) regardless of matrix nnz (no SMEM ceiling on matrix size)."""
+    W = 1 + max_b  # meta words per tile: [k, slot_0..slot_{max_b-1}]
+    meta_rows = (max_ablock * W) // 128 + 2
 
     def kernel(
         aptr_ref,    # (gm+1,)
-        ak_ref,      # (ntA_pad,)
-        slot_ref,    # (ntA_pad*max_b,)
         kmin_ref,    # (n_blocks,) first k slab of each block's window
         av_ref, ao_ref,          # (ntA_pad, tm, tk)
         bv_ref, bo_ref,          # (gk_pad, tk, max_b*tn), gk_pad >= kwin
+        meta_ref,                # (meta_total_rows, 128) int32 HBM
         cv_ref, co_ref,          # (n_blocks*max_cblock, tm, tn)
         av_sc, ao_sc,            # (2, max_ablock, tm, tk)
         bv_sc, bo_sc,            # (2, kwin, tk, max_b*tn)
         ov_sc, oo_sc,            # (2, max_cblock+1, tm, tn)
+        meta_sc,                 # SMEM (2, meta_rows, 128) int32
         av_sem, ao_sem,          # DMA (2,)
         bv_sem, bo_sem,          # DMA (2,)
+        meta_sem,                # DMA (2,)
         out_sem,                 # DMA (2, 2)
     ):
         blk = pl.program_id(0)
@@ -424,6 +430,7 @@ def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
         def in_dmas(p, slot):
             a_lo = aptr_ref[p * block_rows]
             klo = kmin_ref[p]
+            row0 = (a_lo * W) // 128
             return (
                 pltpu.make_async_copy(
                     av_ref.at[pl.ds(a_lo, max_ablock)], av_sc.at[slot],
@@ -437,6 +444,9 @@ def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
                 pltpu.make_async_copy(
                     bo_ref.at[pl.ds(klo, kwin)], bo_sc.at[slot],
                     bo_sem.at[slot]),
+                pltpu.make_async_copy(
+                    meta_ref.at[pl.ds(row0, meta_rows)], meta_sc.at[slot],
+                    meta_sem.at[slot]),
             )
 
         def out_dmas(p, slot):
@@ -475,9 +485,14 @@ def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
         a_lo = aptr_ref[i0]
         a_hi = aptr_ref[jnp.minimum(i0 + block_rows, gm)]
         klo = kmin_ref[blk]
+        meta_base = ((a_lo * W) // 128) * 128  # flat offset of meta_sc[buf,0,0]
+
+        def meta_read(flat):
+            loc = flat - meta_base
+            return meta_sc[buf, loc // 128, loc % 128]
 
         def t_body(g, _):
-            w = ak_ref[g] - klo
+            w = meta_read(g * W) - klo
             la = g - a_lo
             prod_v = jnp.dot(
                 av_sc[buf, la], bv_sc[buf, w],
@@ -489,7 +504,7 @@ def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
                 preferred_element_type=jnp.float32,
             ).astype(oo_sc.dtype)
             for y in range(max_b):
-                s = slot_ref[g * max_b + y]
+                s = meta_read(g * W + 1 + y)
                 ov_sc[buf, s] += prod_v[:, y * tn : (y + 1) * tn]
                 oo_sc[buf, s] += prod_o[:, y * tn : (y + 1) * tn]
             return 0
@@ -518,9 +533,10 @@ def gustavson_strip_pallas(
     b_val: jax.Array,      # (gk, tk, max_b*tn)
     b_occ: jax.Array,      # (gk, tk, max_b*tn) occ dtype
     aptr: jax.Array,       # (gm+1,)
-    ak: jax.Array,         # (ntA_pad,)
-    slots: jax.Array,      # (ntA_pad*max_b,)
-    kmin: jax.Array | None = None,  # (n_blocks,) for the windowed variant
+    ak: jax.Array,         # (ntA_pad,) — cached mode (scalar prefetch)
+    slots: jax.Array,      # (ntA_pad*max_b,) — cached mode
+    kmin: jax.Array | None = None,  # (n_blocks,) windowed variant
+    meta: jax.Array | None = None,  # (rows, 128) int32 windowed variant
     *,
     gm: int,
     max_b: int,
@@ -548,11 +564,12 @@ def gustavson_strip_pallas(
     n_blocks = max(1, -(-gm // block_rows))
 
     if kwin is not None:
-        assert kmin is not None
+        assert kmin is not None and meta is not None
         kernel = _strip_window_kernel_factory(
             tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
             n_blocks, val_precision, kwin,
         )
+        meta_rows = (max_ablock * (1 + max_b)) // 128 + 2
         scratch = [
             pltpu.VMEM((2, max_ablock, tm, tk), acc_dtype),
             pltpu.VMEM((2, max_ablock, tm, tk), occ_dtype),
@@ -560,14 +577,35 @@ def gustavson_strip_pallas(
             pltpu.VMEM((2, kwin, tk, max_b * tn), occ_dtype),
             pltpu.VMEM((2, max_cblock + 1, tm, tn), acc_dtype),
             pltpu.VMEM((2, max_cblock + 1, tm, tn), occ_dtype),
+            pltpu.SMEM((2, meta_rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
-        num_scalars = 4
-        scalar_args = (aptr, ak, slots, kmin)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+            out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_blocks * max_cblock, tm, tn),
+                                     acc_dtype),
+                jax.ShapeDtypeStruct((n_blocks * max_cblock, tm, tn),
+                                     occ_dtype),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+        )(aptr, kmin, a_val, a_occ, b_val, b_occ, meta)
     else:
         kernel = _strip_kernel_factory(
             tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,

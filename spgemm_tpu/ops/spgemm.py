@@ -133,10 +133,23 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
     on_cpu = jax.default_backend() == "cpu"
     aligned = (tn % 128 == 0 and tm % 8 == 0) or on_cpu
     f64 = jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
+    # the cached-B variant scalar-prefetches the slot table into SMEM; the
+    # windowed variant streams per-tile metadata from HBM and has no such
+    # ceiling — accept strip if either variant can run
+    slots_fit_smem = 2 * (a.nt + 1) * max_b * 4 <= 512 * 1024
+    if not slots_fit_smem:
+        from spgemm_tpu.ops.gustavson import block_k_stats
+
+        _, span = block_k_stats(a, 32)
+        n_blocks = max(1, -(-a.gm // 32))
+        windowable = (2 * span * tk * max_b * tn * 6 <= 64 * 1024 * 1024
+                      and n_blocks * span <= 2 * gk + 16)
+    else:
+        windowable = False
     strip_ok = (
         aligned
         and (on_cpu or not f64)  # no f64 MXU path on hardware
-        and 2 * (a.nt + 1) * max_b * 4 <= 512 * 1024          # slots in SMEM
+        and (slots_fit_smem or windowable)
         and B_CACHE_SLOTS * tk * max_b * tn * 6 <= 64 * 1024 * 1024  # B cache
     )
     # slab backend materializes (gk*max_a*max_b, tm, tn) x2 pair products
