@@ -287,11 +287,12 @@ class StripArgs:
                     block_rows=self.block_rows, kwin=self.kwin)
 
     def device_args(self):
-        base = (self.a_val, self.a_occ, self.b_val, self.b_occ,
-                self.aptr, self.ak, self.slots)
+        base = (self.a_val, self.a_occ, self.b_val, self.b_occ, self.aptr)
         if self.kwin is not None:
+            # windowed kernel reads k/slots from `meta`; ak/slots stay
+            # host-side only (dist slicing, executor rebuilds)
             return base + (self.kmin, self.meta)
-        return base
+        return base + (self.ak, self.slots)
 
     def vmem_bytes(self) -> int:
         from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
@@ -512,6 +513,8 @@ def build_strip_args(
     meta = None
     if window is None or window:
         blk_min, span = block_k_stats(a, block_rows)
+        from spgemm_tpu.ops.pallas_kernels import strip_meta_rows
+
         occ_elt = np.dtype(b_occ.dtype).itemsize
         both = dtype.itemsize + occ_elt
         win_total_vmem = (2 * max_ablock * tm * tk * both
@@ -519,7 +522,10 @@ def build_strip_args(
                           + 2 * (max_cblock + 1) * tm * tn * both)
         # windows of adjacent blocks overlap; cap the refetch overhead
         traffic_ok = nb_blocks * span <= 2 * gk + 16
-        if win_total_vmem <= 95 * 1024 * 1024 and traffic_ok:
+        # SMEM: double-buffered meta scratch + aptr/kmin scalar prefetch
+        smem_ok = (2 * strip_meta_rows(max_ablock, max_b) * 128 * 4
+                   + (a.gm + 1 + nb_blocks) * 4) <= 700 * 1024
+        if win_total_vmem <= 95 * 1024 * 1024 and traffic_ok and smem_ok:
             kwin = span
             gk_pad = max(gk, kwin)
             kmin_arr = np.clip(blk_min, 0, gk_pad - kwin).astype(INDEX_DTYPE)
@@ -536,14 +542,12 @@ def build_strip_args(
             # SMEM ceiling on matrix size)
             W = 1 + max_b
             nt_pad = a.nt + max_ablock
-            meta_flat = np.empty(nt_pad * W, dtype=np.int32)
-            mv = meta_flat[: nt_pad * W].reshape(nt_pad, W)
+            total_rows = -(-(nt_pad * W) // 128) + strip_meta_rows(
+                max_ablock, max_b)
+            meta = np.zeros((total_rows, 128), dtype=np.int32)
+            mv = meta.reshape(-1)[: nt_pad * W].reshape(nt_pad, W)
             mv[:, 0] = ak
             mv[:, 1:] = slots.reshape(nt_pad, max_b)
-            meta_rows_needed = (max_ablock * W) // 128 + 2
-            total_rows = -(-meta_flat.size // 128) + meta_rows_needed
-            meta = np.zeros((total_rows, 128), dtype=np.int32)
-            meta.reshape(-1)[: meta_flat.size] = meta_flat
         elif window:
             raise ValueError(
                 f"windowed strip mode infeasible: k span {span} slabs "

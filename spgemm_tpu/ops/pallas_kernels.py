@@ -208,6 +208,14 @@ def pair_accumulate_pallas(
 B_CACHE_SLOTS = 8
 
 
+def strip_meta_rows(max_ablock: int, max_b: int) -> int:
+    """SMEM rows (128 int32 each) needed per block for the windowed
+    kernel's per-tile metadata DMA — single source of truth for the host
+    allocation, the kernel factory, and the scratch spec."""
+    return (max_ablock * (1 + max_b)) // 128 + 2
+
+
+
 def _strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
                           block_rows, gm, n_blocks, val_precision):
     def kernel(
@@ -406,7 +414,7 @@ def _strip_window_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
     DMAed per block into SMEM scratch, so scalar-prefetch size stays
     O(gm) regardless of matrix nnz (no SMEM ceiling on matrix size)."""
     W = 1 + max_b  # meta words per tile: [k, slot_0..slot_{max_b-1}]
-    meta_rows = (max_ablock * W) // 128 + 2
+    meta_rows = strip_meta_rows(max_ablock, max_b)
 
     def kernel(
         aptr_ref,    # (gm+1,)
@@ -533,10 +541,15 @@ def gustavson_strip_pallas(
     b_val: jax.Array,      # (gk, tk, max_b*tn)
     b_occ: jax.Array,      # (gk, tk, max_b*tn) occ dtype
     aptr: jax.Array,       # (gm+1,)
-    ak: jax.Array,         # (ntA_pad,) — cached mode (scalar prefetch)
-    slots: jax.Array,      # (ntA_pad*max_b,) — cached mode
-    kmin: jax.Array | None = None,  # (n_blocks,) windowed variant
-    meta: jax.Array | None = None,  # (rows, 128) int32 windowed variant
+    *rest: jax.Array,      # cached mode: (ak, slots); windowed: (kmin, meta)
+    **kw,
+) -> tuple[jax.Array, jax.Array]:
+    return _gustavson_strip_pallas(a_val, a_occ, b_val, b_occ, aptr,
+                                   *rest, **kw)
+
+
+def _gustavson_strip_pallas(
+    a_val, a_occ, b_val, b_occ, aptr, r0, r1,
     *,
     gm: int,
     max_b: int,
@@ -564,12 +577,12 @@ def gustavson_strip_pallas(
     n_blocks = max(1, -(-gm // block_rows))
 
     if kwin is not None:
-        assert kmin is not None and meta is not None
+        kmin, meta = r0, r1
         kernel = _strip_window_kernel_factory(
             tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
             n_blocks, val_precision, kwin,
         )
-        meta_rows = (max_ablock * (1 + max_b)) // 128 + 2
+        meta_rows = strip_meta_rows(max_ablock, max_b)
         scratch = [
             pltpu.VMEM((2, max_ablock, tm, tk), acc_dtype),
             pltpu.VMEM((2, max_ablock, tm, tk), occ_dtype),
@@ -625,6 +638,7 @@ def gustavson_strip_pallas(
             pltpu.SemaphoreType.DMA((B_CACHE_SLOTS, 2)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
+        ak, slots = r0, r1
         num_scalars = 3
         scalar_args = (aptr, ak, slots)
 

@@ -137,15 +137,17 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
     # windowed variant streams per-tile metadata from HBM and has no such
     # ceiling — accept strip if either variant can run
     slots_fit_smem = 2 * (a.nt + 1) * max_b * 4 <= 512 * 1024
-    if not slots_fit_smem:
+    windowable = False
+    if not slots_fit_smem and backend in ("auto", "strip"):
         from spgemm_tpu.ops.gustavson import block_k_stats
 
         _, span = block_k_stats(a, 32)
         n_blocks = max(1, -(-a.gm // 32))
+        # coarse estimate; build_strip_args re-decides with the full
+        # budget, and _spgemm_gustavson falls back if the window is
+        # refused there (the cached variant cannot take this plan)
         windowable = (2 * span * tk * max_b * tn * 6 <= 64 * 1024 * 1024
                       and n_blocks * span <= 2 * gk + 16)
-    else:
-        windowable = False
     strip_ok = (
         aligned
         and (on_cpu or not f64)  # no f64 MXU path on hardware
@@ -334,6 +336,18 @@ def _spgemm_gustavson(
         sargs = build_strip_args(a, b, dtype=np_dtype)
         timings["prep_ms"] = sargs.prep_ms
         timings["symbolic_ms"] = sargs.symbolic_ms
+        # safety net: if the resolver admitted strip only because the
+        # windowed variant looked feasible but the builder refused the
+        # window, the cached variant's slot table will not fit SMEM —
+        # reroute instead of crashing in Mosaic
+        if (sargs.kwin is None
+                and 2 * (a.nt + 1) * sargs.max_b * 4 > 512 * 1024):
+            if _dense_bytes(a, b) <= 6 << 30 and np_dtype == np.float32:
+                return _spgemm_dense(
+                    a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
+                    note="strip-fallback: slot table exceeds SMEM")
+            strip = False
+            backend_used = "gustavson(strip-fallback: slot table SMEM)"
         if sargs.vmem_bytes() > 100 * 1024 * 1024:
             block_rows = choose_strip_block_rows(a, b, sargs)
             if block_rows is None:
