@@ -118,6 +118,7 @@ def main(argv=None) -> int:
         c, res = spgemm_csr(
             a, aat=bool(args.aat), tm=tm, tn=tn,
             backend=args.backend, compute_dtype=compute_dtype,
+            device=dev,
         )
         rt = (res.timings_ms.get("symbolic_ms", 0.0)
               + res.timings_ms.get("numeric_ms", 0.0))

@@ -32,33 +32,96 @@ def _check_dims(a: CSR, b: CSR) -> None:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
 
 
+def _expand_products(a: CSR, b: CSR, lo: int, hi: int):
+    """Expand all partial products of A rows [lo, hi): returns
+    (local_rows, cols, vals) arrays of length sum-of-flops for the block.
+    Shared by the vectorized golden models below."""
+    alo, ahi = int(a.indptr[lo]), int(a.indptr[hi])
+    ks = a.indices[alo:ahi]
+    counts = (b.indptr[ks + 1] - b.indptr[ks]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        e = np.zeros(0, np.int64)
+        return e, e, np.zeros(0)
+    arow = np.repeat(
+        np.arange(lo, hi, dtype=np.int64),
+        (a.indptr[lo + 1 : hi + 1] - a.indptr[lo:hi]).astype(np.int64),
+    ) - lo
+    rows = np.repeat(arow, counts)
+    reps = np.repeat(b.indptr[ks].astype(np.int64), counts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    bpos = reps + offs
+    cols = b.indices[bpos].astype(np.int64)
+    vals = np.repeat(a.data[alo:ahi], counts) * b.data[bpos]
+    return rows, cols, vals
+
+
+def _row_blocks(a: CSR, b: CSR, budget: int = 1 << 23):
+    """Row-block boundaries keeping per-block expanded products under
+    `budget` elements (at least one row per block)."""
+    blen = (b.indptr[1:] - b.indptr[:-1]).astype(np.int64)
+    per_row = (np.bincount(a.rows_expanded(), weights=blen[a.indices],
+                           minlength=a.m).astype(np.int64)
+               if a.nnz else np.zeros(a.m, np.int64))
+    fl = np.zeros(a.m + 1, dtype=np.int64)
+    np.cumsum(per_row, out=fl[1:])
+    bounds = [0]
+    while bounds[-1] < a.m:
+        lo = bounds[-1]
+        hi = int(np.searchsorted(fl, fl[lo] + budget, side="right")) - 1
+        bounds.append(min(max(hi, lo + 1), a.m))
+    return bounds
+
+
 def spgemm_spa_bitflag(a: CSR, b: CSR) -> CSR:
-    """Bit-flag SPA: symbolic pattern via 32-wide flag words, then a dense
-    accumulator pass for values. Vectorized per row with NumPy bit ops."""
+    """Bit-flag SPA (`src/spgemm_serialref_spa_new.h:7-105`): the pattern
+    is computed through 32-wide uint32 flag words — OR-reduce of column
+    bits per (row, word) — then emitted by bit-scan in ascending column
+    order; values by segment-reduction over the same sorted expansion.
+    Vectorized over row blocks (no per-row Python loop)."""
     _check_dims(a, b)
     m, n = a.m, b.n
     nwords = n // 32 + 1
     indptr = np.zeros(m + 1, dtype=INDEX_DTYPE)
     out_cols: list[np.ndarray] = []
     out_vals: list[np.ndarray] = []
-    acc = np.zeros(n, dtype=np.float64)
-    for i in range(m):
-        ks = a.indices[a.indptr[i] : a.indptr[i + 1]]
-        flags = np.zeros(nwords, dtype=np.uint32)
-        acc[:] = 0.0
-        for k, av in zip(ks, a.data[a.indptr[i] : a.indptr[i + 1]]):
-            cols = b.indices[b.indptr[k] : b.indptr[k + 1]]
-            np.bitwise_or.at(
-                flags, cols // 32, np.uint32(1) << (cols % 32).astype(np.uint32)
-            )
-            acc[cols] += av * b.data[b.indptr[k] : b.indptr[k + 1]]
-        # emit set bits in ascending column order (bit-scan, vectorized)
-        shifts = np.arange(32, dtype=np.uint32)
-        bits = ((flags[:, None] >> shifts) & 1).astype(bool).reshape(-1)[:n]
-        cols_i = np.flatnonzero(bits).astype(INDEX_DTYPE)
-        indptr[i + 1] = indptr[i] + cols_i.size
-        out_cols.append(cols_i)
-        out_vals.append(acc[cols_i].copy())
+    bounds = _row_blocks(a, b)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        rows, cols, vals = _expand_products(a, b, lo, hi)
+        nb = hi - lo
+        counts = np.zeros(nb, np.int64)
+        if rows.size:
+            # bit-flag words: sort by (row, word), OR-reduce runs
+            wkey = rows * nwords + (cols >> 5)
+            order = np.argsort(wkey, kind="stable")
+            wkey_s = wkey[order]
+            bits = (np.uint32(1) << (cols[order] & 31).astype(np.uint32))
+            starts = np.flatnonzero(
+                np.concatenate(([True], wkey_s[1:] != wkey_s[:-1])))
+            words = np.bitwise_or.reduceat(bits, starts)
+            # emit set bits of each word in ascending column order
+            shifts = np.arange(32, dtype=np.uint32)
+            expanded = ((words[:, None] >> shifts) & 1).astype(bool)
+            wrow = wkey_s[starts] // nwords
+            wcol0 = (wkey_s[starts] % nwords) * 32
+            sel = expanded.nonzero()
+            cols_blk = wcol0[sel[0]] + sel[1]
+            rows_blk = wrow[sel[0]]
+            keep = cols_blk < n
+            cols_blk, rows_blk = cols_blk[keep], rows_blk[keep]
+            # values: segment-sum products over the (row, col) sorted order
+            vkey = rows * np.int64(n) + cols
+            vorder = np.argsort(vkey, kind="stable")
+            vkey_s = vkey[vorder]
+            vstarts = np.flatnonzero(
+                np.concatenate(([True], vkey_s[1:] != vkey_s[:-1])))
+            vals_blk = np.add.reduceat(vals[vorder], vstarts)
+            counts = np.bincount(rows_blk, minlength=nb)
+            out_cols.append(cols_blk.astype(INDEX_DTYPE))
+            out_vals.append(vals_blk)
+        indptr[lo + 1 : hi + 1] = indptr[lo] + np.cumsum(counts)
     indices = (
         np.concatenate(out_cols) if out_cols else np.zeros(0, INDEX_DTYPE)
     )
@@ -67,28 +130,35 @@ def spgemm_spa_bitflag(a: CSR, b: CSR) -> CSR:
 
 
 def spgemm_dense_row(a: CSR, b: CSR) -> CSR:
-    """Dense-row accumulator: per output row, a width-n value array plus a
-    boolean structural-flag array (two-pass count/fill collapsed into one
-    vectorized pass per row)."""
+    """Dense-row accumulator (`external/cusparse/spgemm_serialref_spa.h`):
+    a dense value array + structural-flag array per row block, filled with
+    one histogram pass (np.bincount over row*n+col keys) — the vectorized
+    form of the reference's two-pass count/fill."""
     _check_dims(a, b)
     m, n = a.m, b.n
     indptr = np.zeros(m + 1, dtype=INDEX_DTYPE)
     out_cols: list[np.ndarray] = []
     out_vals: list[np.ndarray] = []
-    acc = np.zeros(n, dtype=np.float64)
-    flag = np.zeros(n, dtype=bool)
-    for i in range(m):
-        lo, hi = a.indptr[i], a.indptr[i + 1]
-        acc[:] = 0.0
-        flag[:] = False
-        for k, av in zip(a.indices[lo:hi], a.data[lo:hi]):
-            cols = b.indices[b.indptr[k] : b.indptr[k + 1]]
-            acc[cols] += av * b.data[b.indptr[k] : b.indptr[k + 1]]
-            flag[cols] = True
-        cols_i = np.flatnonzero(flag).astype(INDEX_DTYPE)
-        indptr[i + 1] = indptr[i] + cols_i.size
-        out_cols.append(cols_i)
-        out_vals.append(acc[cols_i].copy())
+    # cap the dense accumulator (block*n doubles) at ~64 MB
+    row_cap = max(1, (1 << 23) // max(n, 1))
+    bounds = _row_blocks(a, b)
+    bounds = sorted({bb for lo, hi in zip(bounds[:-1], bounds[1:])
+                     for bb in range(lo, hi + 1, row_cap)} | {0, m})
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        rows, cols, vals = _expand_products(a, b, lo, hi)
+        nb = hi - lo
+        counts = np.zeros(nb, np.int64)
+        if rows.size:
+            keys = rows * np.int64(n) + cols
+            width = nb * n
+            acc = np.bincount(keys, weights=vals, minlength=width)
+            flag = np.bincount(keys, minlength=width).astype(bool)
+            hit = np.flatnonzero(flag)
+            rows_blk = hit // n
+            out_cols.append((hit % n).astype(INDEX_DTYPE))
+            out_vals.append(acc[hit])
+            counts = np.bincount(rows_blk, minlength=nb)
+        indptr[lo + 1 : hi + 1] = indptr[lo] + np.cumsum(counts)
     indices = (
         np.concatenate(out_cols) if out_cols else np.zeros(0, INDEX_DTYPE)
     )

@@ -633,12 +633,26 @@ def choose_strip_block_rows(
     return None
 
 
-def check_strip_feasible(args: StripArgs, interpret: bool) -> None:
+def check_strip_feasible(args: StripArgs, interpret: bool,
+                         slot_entries: int | None = None) -> None:
     """Raise an actionable error if the strip kernel cannot run on
-    hardware with this plan (Mosaic DMA alignment, VMEM scratch). No-op
-    in interpret mode (CPU testing has neither constraint)."""
+    hardware with this plan (Mosaic DMA alignment, VMEM scratch, and —
+    for the cached-B variant — the scalar-prefetched slot table's SMEM
+    footprint). `slot_entries` is the per-device slot-table length
+    (int32 count); pass it when the cached variant will run. No-op
+    in interpret mode (CPU testing has none of these constraints)."""
     if interpret:
         return
+    if slot_entries is not None and args.kwin is None:
+        # cached-B variant: slot table + ak live in SMEM (~1 MB total);
+        # keep the same 512 KB budget the single-device resolver uses
+        if 2 * slot_entries * 4 > 512 * 1024:
+            raise ValueError(
+                f"strip cached-B slot table ({slot_entries} int32 entries) "
+                "exceeds the SMEM scalar-prefetch budget; use the windowed "
+                "variant, more devices, or the gustavson/xla backend "
+                "(spgemm(backend='auto') reroutes automatically)."
+            )
     if args.tk % 128 != 0 or args.tn % 128 != 0 or args.tm % 8 != 0:
         raise ValueError(
             f"strip kernel needs 128-aligned tile minor dims on TPU "

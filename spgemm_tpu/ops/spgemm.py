@@ -131,7 +131,9 @@ def _resolve_backend(a: TileMat, b: TileMat, backend: str,
     from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
 
     on_cpu = jax.default_backend() == "cpu"
-    aligned = (tn % 128 == 0 and tm % 8 == 0) or on_cpu
+    # tk (=a.tn) feeds the A-tile HBM DMA minor dim — same %128 Mosaic
+    # constraint check_strip_feasible enforces (gustavson.py)
+    aligned = (tn % 128 == 0 and tm % 8 == 0 and tk % 128 == 0) or on_cpu
     f64 = jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
     # the cached-B variant scalar-prefetches the slot table into SMEM; the
     # windowed variant streams per-tile metadata from HBM and has no such
@@ -536,8 +538,12 @@ def _spgemm_dense(
     tm, tn = a.tm, b.tn
 
     t0 = time.perf_counter()
-    ad = jnp.asarray(a.to_dense_padded(np.float32), dtype=compute_dtype)
-    bd = jnp.asarray(b.to_dense_padded(np.float32), dtype=compute_dtype)
+    # densify in the compute precision — an explicit backend="dense" call
+    # with float64 must not truncate inputs through f32 (ADVICE r1)
+    np_dt = (np.float64 if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
+             else np.float32)
+    ad = jnp.asarray(a.to_dense_padded(np_dt), dtype=compute_dtype)
+    bd = jnp.asarray(b.to_dense_padded(np_dt), dtype=compute_dtype)
     # occupancy from the STORED pattern, not values — explicit zeros are
     # structural (the reference's synthetic i%10 values include zeros)
     ao = jnp.asarray(a.occ_dense_padded(), dtype=jnp.bfloat16)

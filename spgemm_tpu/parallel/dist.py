@@ -487,7 +487,8 @@ def spgemm_sharded_strip(
     args = plan.args
     from spgemm_tpu.ops.gustavson import check_strip_feasible
 
-    check_strip_feasible(args, interpret)
+    check_strip_feasible(args, interpret,
+                         slot_entries=int(plan.slots.shape[1]))
     gk = args.b_val.shape[0]
 
     kernel_kwargs = dict(
