@@ -351,4 +351,122 @@ void pack_b_slabs(
   }
 }
 
+// --- ESC symbolic (unstructured engine, ops/esc.py) -----------------------
+// The host half of the digit-ESC engine: the role the reference fills
+// with nsparse's GPU hash tables (`src/spgemm_nsparse_kernel.h:1171-1438`).
+// Three O(flops) passes with a per-row stamp map:
+//   1. esc_pattern_count  — C's structural row pointer (merge count)
+//   2. esc_products_count — C's sorted column indices + products per
+//                           S-slot interval of C's value array
+//   3. esc_fill           — per-product (group, slot) assignment written
+//                           straight into the padded per-class operand
+//                           streams (counting sort, sibling splits)
+
+// Pass 1: structural pattern count. Fills c_indptr (m+1, exclusive scan),
+// returns nnzC.
+int64_t esc_pattern_count(
+    const int32_t* a_indptr, const int32_t* a_indices,
+    const int32_t* b_indptr, const int32_t* b_indices,
+    int64_t m, int64_t n, int32_t* c_indptr /* m+1 */) {
+  std::vector<int64_t> stamp(n, -1);
+  c_indptr[0] = 0;
+  int64_t total = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    int64_t cnt = 0;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int32_t j = b_indices[q];
+        if (stamp[j] != i) {
+          stamp[j] = i;
+          ++cnt;
+        }
+      }
+    }
+    total += cnt;
+    c_indptr[i + 1] = (int32_t)total;
+  }
+  return total;
+}
+
+// Pass 2: fill c_indices (sorted columns per row) and count products per
+// S-slot interval of C's value array. Returns the total product count F.
+int64_t esc_products_count(
+    const int32_t* a_indptr, const int32_t* a_indices,
+    const int32_t* b_indptr, const int32_t* b_indices,
+    int64_t m, int64_t n, const int32_t* c_indptr,
+    int32_t* c_indices /* nnzC */, int64_t s_slots,
+    int64_t* prod_cnt /* ceil(nnzC/s_slots) */) {
+  std::vector<int64_t> stamp(n, -1);
+  std::vector<int32_t> pos(n);
+  int64_t flops = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t base = c_indptr[i];
+    int32_t cnt = 0;
+    int32_t* cols = c_indices + base;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int32_t j = b_indices[q];
+        if (stamp[j] != i) {
+          stamp[j] = i;
+          cols[cnt++] = j;
+        }
+      }
+    }
+    std::sort(cols, cols + cnt);
+    for (int32_t t = 0; t < cnt; ++t) pos[cols[t]] = t;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int64_t dest = base + pos[b_indices[q]];
+        ++prod_cnt[dest / s_slots];
+        ++flops;
+      }
+    }
+  }
+  return flops;
+}
+
+// Pass 3: write every product's (a index, b index, slot) into its final
+// padded position. sib_ptr/sib_base encode the caller-computed sibling
+// and width-class layout: interval g's products go, in A-order, to
+// siblings sib_ptr[g], sib_ptr[g]+1, ... in chunks of f_max; sibling s
+// occupies flat positions [sib_base[s], sib_base[s] + its class width).
+void esc_fill(
+    const int32_t* a_indptr, const int32_t* a_indices,
+    const int32_t* b_indptr, const int32_t* b_indices,
+    const double* a_data, const double* b_data,
+    int64_t m, int64_t n, const int32_t* c_indptr,
+    const int32_t* c_indices, int64_t s_slots, int64_t f_max,
+    const int64_t* sib_ptr, const int64_t* sib_base,
+    int64_t num_intervals,
+    int32_t* asrc, int32_t* bsrc, int32_t* slot,
+    double* av, double* bv) {
+  std::vector<int32_t> pos(n);
+  std::vector<int64_t> counter(num_intervals, 0);
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t base = c_indptr[i];
+    const int32_t cnt = c_indptr[i + 1] - c_indptr[i];
+    for (int32_t t = 0; t < cnt; ++t) {
+      pos[c_indices[base + t]] = t;
+    }
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      const double aval = a_data[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int64_t dest = base + pos[b_indices[q]];
+        const int64_t g = dest / s_slots;
+        const int64_t c = counter[g]++;
+        const int64_t off = sib_base[sib_ptr[g] + c / f_max] + c % f_max;
+        asrc[off] = p;
+        bsrc[off] = q;
+        slot[off] = (int32_t)(dest - g * s_slots);
+        av[off] = aval;
+        bv[off] = b_data[q];
+      }
+    }
+  }
+}
+
 }  // extern "C"

@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("tile_m", nargs="?", type=int, default=16)
     p.add_argument("tile_n", nargs="?", type=int, default=128)
     p.add_argument("--backend", default="auto",
-                   choices=["auto", "strip", "gustavson", "dense", "xla", "pallas"])
+                   choices=["auto", "strip", "gustavson", "dense", "esc",
+                            "xla", "pallas"])
     p.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     p.add_argument("--check", default="values",
                    choices=["none", "pattern", "values"],

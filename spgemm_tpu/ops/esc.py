@@ -1,0 +1,375 @@
+"""Device ESC engine for unstructured matrices — the TPU-native
+replacement for the reference's nsparse hash-table symbolic + size-binned
+sparse-accumulator numeric path (`src/spgemm_nsparse_kernel.h:1171-1438`,
+`src/tilespgemm-cuda.h:1273-2218`).
+
+Hash tables and per-lane scatter have no efficient TPU mapping (measured
+on v5e: XLA element gather 0.14 G elem/s, scatter-add 0.11 G elem/s,
+full sort 0.4 G elem/s — see tools/probe_primitives.py). This engine
+instead restructures expand-sort-compress so the device touches data
+only through operations the hardware is fast at:
+
+* Host symbolic (pattern-static, reusable across calls): expand the
+  nnzCub partial products in Gustavson/A-order, compute each product's
+  destination position in C's value array (one vectorized searchsorted
+  against C's sorted keys), partition C's value array into contiguous
+  slot *groups* of S=2048 positions, and materialize per-group expanded
+  operand streams (a-value, b-value, slot id) padded to a power-of-two
+  width class.
+
+* Device numeric (one jitted XLA computation, zero gathers/scatters):
+  q = AV * BV elementwise, split each slot id into digits
+  (hi = slot >> 5, lo = slot & 31), and contract
+  ``out[g, h, a] = sum_w (hi==h) * (lo==a) * q`` as a batched one-hot
+  matmul — the MXU performs the entire segmented scatter-add. Padding
+  products carry av = 0 and therefore contribute exactly 0 wherever
+  they land.
+
+The per-group result ``out.reshape(G, S)`` is C's value array, group by
+group, in final CSR order — no device-side reordering ever happens.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgemm_tpu.models.csr import CSR, INDEX_DTYPE
+
+S_SLOTS = 2048            # slot positions per group (64 * 32 digit space)
+HI_W, LO_W = 64, 32
+W_MIN, W_MAX = 256, 4096  # product-stream width classes (pow2 buckets)
+
+
+@dataclasses.dataclass
+class EscPlan:
+    """Pattern-static plan: everything the numeric phase needs except the
+    input values. Rebuilding AV/BV for new values is a cheap host gather
+    (`refresh_values`); the symbolic structure is fully reusable — the
+    analogue of the reference's symbolic/numeric split
+    (`tilespgemm-cuda.h:2379-2604` vs `:2649-2728`)."""
+
+    shape: tuple[int, int]
+    c_indptr: np.ndarray          # C pattern (structural, sorted cols)
+    c_indices: np.ndarray
+    nnz_c: int
+    num_products: int             # nnzCub
+    # per width class: device operand streams
+    classes: list[dict]           # {w, av, bv, slot, base, glen}
+    # host gather indices to refresh AV/BV from new a.data / b.data
+    a_src: list[np.ndarray]       # per class: (G*W,) int64 into a.data, -1 pad
+    b_src: list[np.ndarray]       # per class: (G*W,) int64 into b.data
+    symbolic_ms: float = 0.0
+
+    def device_arrays(self, dtype=np.float32):
+        """Upload per-class operand streams; returns list of dicts of
+        jnp arrays (av, bv, slot)."""
+        out = []
+        for cls in self.classes:
+            out.append(dict(
+                av=jnp.asarray(cls["av"].astype(dtype)),
+                bv=jnp.asarray(cls["bv"].astype(dtype)),
+                slot=jnp.asarray(cls["slot"]),
+            ))
+        return out
+
+    def refresh_values(self, a_data: np.ndarray, b_data: np.ndarray):
+        """Rebuild the expanded value streams for new input values under
+        the same pattern (host gather, vectorized)."""
+        for cls, asrc, bsrc in zip(self.classes, self.a_src, self.b_src):
+            g, w = cls["slot"].shape
+            av = np.zeros(g * w, np.float64)
+            bv = np.zeros(g * w, np.float64)
+            ok = asrc >= 0
+            av[ok] = a_data[asrc[ok]]
+            bv[ok] = b_data[bsrc[ok]]
+            cls["av"] = av.reshape(g, w)
+            cls["bv"] = bv.reshape(g, w)
+
+
+def _expand_products(a: CSR, b: CSR):
+    """All nnzCub partial products in A-order: returns (a_idx, b_idx,
+    rows, cols) int64 arrays. Mirrors the reference's intermediate-product
+    enumeration (`spgemm_nsparse_kernel.h:135-166` set_intprod_num)."""
+    blen = (b.indptr[1:] - b.indptr[:-1]).astype(np.int64)
+    counts = blen[a.indices]
+    total = int(counts.sum())
+    if total == 0:
+        e = np.zeros(0, np.int64)
+        return e, e, e, e
+    a_idx = np.repeat(np.arange(a.nnz, dtype=np.int64), counts)
+    rows = np.repeat(a.rows_expanded().astype(np.int64), counts)
+    reps = np.repeat(b.indptr[a.indices].astype(np.int64), counts)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    b_idx = reps + offs
+    cols = b.indices[b_idx].astype(np.int64)
+    return a_idx, b_idx, rows, cols
+
+
+def _structural_pattern(a: CSR, b: CSR) -> tuple[np.ndarray, np.ndarray]:
+    """C's structural pattern (an entry exists iff any a_ik*b_kj term
+    exists, regardless of value cancellation) — sorted CSR."""
+    import scipy.sparse as sp
+
+    sa = sp.csr_matrix(
+        (np.ones(a.nnz, np.float64), a.indices, a.indptr), shape=a.shape)
+    sb = sp.csr_matrix(
+        (np.ones(b.nnz, np.float64), b.indices, b.indptr), shape=b.shape)
+    sc = (sa @ sb).tocsr()
+    sc.sort_indices()
+    return sc.indptr.astype(np.int64), sc.indices.astype(np.int64)
+
+
+def _sibling_layout(prod_cnt: np.ndarray, nnz_c: int, s_slots: int,
+                    f_max: int, w_min: int = W_MIN) -> dict:
+    """Group layout over fixed S-slot intervals of C's value array.
+    Interval g (slots [g*S, (g+1)*S)) receives prod_cnt[g] products; if
+    that exceeds f_max it splits into *sibling* groups over the same
+    interval (the trim pass sums them). Each sibling lands in a pow2
+    width class; returns flat offsets for the operand-stream fill.
+
+    Fixed intervals need no row alignment: a product's group is simply
+    dest // S and its slot dest % S — wide C rows and dup-heavy rows
+    fall out of the same arithmetic (the analogue of nsparse's
+    set_max_bin/set_min_bin size binning,
+    `spgemm_nsparse_kernel.h:221-311`)."""
+    n_int = prod_cnt.size
+    n_sib = np.maximum(1, -(-prod_cnt // f_max)).astype(np.int64)
+    sib_ptr = np.zeros(n_int + 1, np.int64)
+    np.cumsum(n_sib, out=sib_ptr[1:])
+    total = int(sib_ptr[-1])
+    sib_int = np.repeat(np.arange(n_int, dtype=np.int64), n_sib)
+    sib_rank = np.arange(total, dtype=np.int64) - sib_ptr[sib_int]
+    sib_cnt = np.maximum(
+        np.minimum(prod_cnt[sib_int] - sib_rank * f_max, f_max), 1)
+    # width classes at 256 granularity (<= f_max/256 classes): pow2
+    # classes waste up to 2x padding exactly at the common case where an
+    # interval's product count sits just above a power of two
+    w = np.maximum(w_min, -(-sib_cnt // 256) * 256)
+    sib_base = np.zeros(total, np.int64)
+    classes = []
+    flat_total = 0
+    for wv in sorted(set(w.tolist())):
+        ids = np.flatnonzero(w == wv)
+        sib_base[ids] = flat_total + np.arange(ids.size, dtype=np.int64) * wv
+        base = sib_int[ids] * s_slots
+        glen = np.minimum(s_slots, nnz_c - base)
+        classes.append(dict(w=int(wv), g=int(ids.size),
+                            flat_ofs=int(flat_total), base=base, glen=glen))
+        flat_total += ids.size * int(wv)
+    return dict(classes=classes, sib_ptr=sib_ptr, sib_base=sib_base,
+                flat_total=int(flat_total))
+
+
+def _esc_symbolic_numpy(a: CSR, b: CSR, s_slots: int, f_max: int):
+    """NumPy fallback for the native symbolic (same outputs as
+    utils.native.esc_symbolic_native): pattern via scipy, destinations
+    via one global searchsorted, counting sort into the padded layout."""
+    c_indptr, c_indices = _structural_pattern(a, b)
+    nnz_c = int(c_indptr[-1])
+    n = b.n
+    a_idx, b_idx, rows, cols = _expand_products(a, b)
+    total = a_idx.size
+    n_int = max(1, -(-nnz_c // s_slots))
+    prod_cnt = np.zeros(n_int, np.int64)
+    dest = gidx = None
+    if total:
+        c_rows = np.repeat(np.arange(a.m, dtype=np.int64),
+                           np.diff(c_indptr).astype(np.int64))
+        c_keys = c_rows * n + c_indices
+        dest = np.searchsorted(c_keys, rows * n + cols)
+        del c_keys, c_rows, rows, cols
+        gidx = dest // s_slots
+        prod_cnt = np.bincount(gidx, minlength=n_int).astype(np.int64)
+    layout = _sibling_layout(prod_cnt, nnz_c, s_slots, f_max)
+    asrc = np.full(layout["flat_total"], -1, np.int32)
+    bsrc = np.zeros(layout["flat_total"], np.int32)
+    slot = np.zeros(layout["flat_total"], np.int32)
+    av = np.zeros(layout["flat_total"], np.float64)
+    bv = np.zeros(layout["flat_total"], np.float64)
+    if total:
+        order = np.argsort(gidx, kind="stable")
+        gs = gidx[order]
+        start = np.zeros(n_int + 1, np.int64)
+        np.cumsum(prod_cnt, out=start[1:])
+        rank = np.arange(total, dtype=np.int64) - start[gs]
+        sib = layout["sib_ptr"][gs] + rank // f_max
+        off = layout["sib_base"][sib] + rank % f_max
+        asrc[off] = a_idx[order]
+        bsrc[off] = b_idx[order]
+        slot[off] = (dest[order] - gs * s_slots).astype(np.int32)
+        av[off] = a.data[a_idx[order]]
+        bv[off] = b.data[b_idx[order]]
+    return (c_indptr, c_indices.astype(np.int32), total, prod_cnt,
+            asrc, bsrc, slot, layout, av, bv)
+
+
+def build_esc_plan(a: CSR, b: CSR, *, s_slots: int = S_SLOTS,
+                   f_max: int = W_MAX) -> EscPlan:
+    """Host symbolic phase. Replaces the reference's nsparse binning +
+    hash-table symbolic (`spgemm_nsparse_kernel.h:221-263,1171-1314`)
+    with an O(flops) position assignment: products -> (group, slot).
+    Native C++ (native/csr2tile.cpp esc_* passes) with a vectorized
+    NumPy fallback."""
+    t0 = time.perf_counter()
+    if a.n != b.m:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    from spgemm_tpu.utils.native import esc_symbolic_native
+
+    res = esc_symbolic_native(a, b, s_slots, f_max, W_MIN)
+    if res is None:
+        res = _esc_symbolic_numpy(a, b, s_slots, f_max)
+    (c_indptr, c_indices, total, prod_cnt, asrc, bsrc, slot, layout,
+     av, bv) = res
+    nnz_c = int(c_indptr[-1])
+
+    plan = EscPlan(
+        shape=(a.m, b.n), c_indptr=np.asarray(c_indptr, np.int64),
+        c_indices=c_indices.astype(INDEX_DTYPE, copy=False), nnz_c=nnz_c,
+        num_products=int(total), classes=[], a_src=[], b_src=[],
+    )
+    for cls in layout["classes"]:
+        g, w, o = cls["g"], cls["w"], cls["flat_ofs"]
+        plan.classes.append(dict(
+            w=w, av=av[o : o + g * w].reshape(g, w),
+            bv=bv[o : o + g * w].reshape(g, w),
+            slot=slot[o : o + g * w].reshape(g, w),
+            base=cls["base"], glen=cls["glen"],
+        ))
+        plan.a_src.append(asrc[o : o + g * w])
+        plan.b_src.append(bsrc[o : o + g * w])
+
+    plan.symbolic_ms = (time.perf_counter() - t0) * 1e3
+    return plan
+
+
+@functools.partial(jax.jit, static_argnames=("s_slots", "precision"))
+def esc_digit_reduce(av, bv, slot, *, s_slots: int = S_SLOTS,
+                     precision=jax.lax.Precision.HIGHEST):
+    """The numeric kernel: batched one-hot digit contraction.
+    out[g, slot] = sum over products w of av*bv where slot matches.
+    Padding products have av == 0 and add exactly zero. No scatter,
+    gather, or sort anywhere.
+
+    Precision (measured on v5e, 36x36 fixture, |C| ~ 100):
+      HIGHEST -> 1.2e-5 abs (f32 roundoff)   ~8.0 GFLOPS at n=65536
+      HIGH    -> 8.5e-4 abs (~1e-5 relative) ~11.2 GFLOPS
+    HIGHEST is the default: values must match the oracle at f32
+    precision (CLAUDE.md correctness bar). A manual 3-way bf16 split of
+    q would give HIGHEST accuracy at HIGH cost, but XLA's algebraic
+    simplifier folds the residuals (q - bf16(q) -> 0) and
+    optimization_barrier forces HBM round-trips (15 ms) — that trick
+    needs the Pallas version of this kernel."""
+    q = av * bv                                    # (G, W)
+    lo = slot & (LO_W - 1)
+    hi = slot >> 5
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LO_W), 2)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HI_W), 2)
+    u = jnp.where(lo[:, :, None] == lo_iota, q[:, :, None], 0)  # (G,W,32)
+    ohh = (hi[:, :, None] == hi_iota).astype(av.dtype)          # (G,W,64)
+    out = jax.lax.dot_general(
+        ohh, u,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32 if av.dtype != jnp.float64
+        else jnp.float64,
+        precision=precision,
+    )                                              # (G, 64, 32)
+    return out.reshape(out.shape[0], HI_W * LO_W)
+
+
+def esc_numeric(plan: EscPlan, dev_arrays=None, *, dtype=np.float32,
+                sync: bool = True,
+                precision=jax.lax.Precision.HIGHEST):
+    """Run the numeric phase; returns the list of padded per-class
+    outputs (device arrays, in final CSR slot order)."""
+    if dev_arrays is None:
+        dev_arrays = plan.device_arrays(dtype)
+    outs = [esc_digit_reduce(d["av"], d["bv"], d["slot"],
+                             precision=precision)
+            for d in dev_arrays]
+    if sync:
+        jax.block_until_ready(outs)
+    return outs
+
+
+def esc_trim(plan: EscPlan, outs) -> CSR:
+    """Assemble C from the padded group outputs: slice each group's
+    [0, len) slots into its contiguous CSR interval; sibling groups over
+    the same interval (flop splits) accumulate. Host-side, vectorized
+    per group (group count ~ nnzCub / 4096)."""
+    c_val = np.zeros(plan.nnz_c, np.float64)
+    for cls, out in zip(plan.classes, outs):
+        arr = np.asarray(out, dtype=np.float64)
+        base, glen = cls["base"], cls["glen"]
+        for gi in range(base.size):
+            lo, ln = int(base[gi]), int(glen[gi])
+            c_val[lo : lo + ln] += arr[gi, :ln]
+    return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+               c_val, plan.shape)
+
+
+def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
+               plan: EscPlan | None = None):
+    """End-to-end unstructured SpGEMM: C = A @ B through the digit-ESC
+    engine. Returns (CSR, timings dict, plan). The plan is reusable for
+    new values of the same pattern (plan.refresh_values)."""
+    timings: dict[str, float] = {}
+    if plan is None:
+        plan = build_esc_plan(a, b)
+    timings["symbolic_ms"] = plan.symbolic_ms
+
+    t0 = time.perf_counter()
+    dev = plan.device_arrays(dtype)
+    jax.block_until_ready([d["av"] for d in dev])
+    timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    outs = esc_numeric(plan, dev, dtype=dtype)
+    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    c = esc_trim(plan, outs)
+    timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+    return c, timings, plan
+
+
+def time_esc(plan: EscPlan, *, dtype=np.float32, loop: int = 20,
+             repeats: int = 2,
+             precision=jax.lax.Precision.HIGHEST) -> tuple[float, float]:
+    """Amortized per-call device time of the numeric phase (all width
+    classes chained), resident operands — same methodology as
+    StripExecutor.time_numeric. Returns (ms, rtt_ms)."""
+    from spgemm_tpu.utils.timing import chained_device_ms
+
+    dev = plan.device_arrays(dtype)
+    jax.block_until_ready([d["av"] for d in dev])
+    prec = precision
+
+    @jax.jit
+    def chain(*flat):
+        arrs = [(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
+                for i in range(len(flat) // 3)]
+
+        def body(i, acc):
+            s = acc
+            for av, bv, slot in arrs:
+                out = esc_digit_reduce(av + acc * 1e-30, bv, slot,
+                                       precision=prec)
+                s = s + jnp.sum(out[-1, -8:])
+            return s
+
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    flat = []
+    for d in dev:
+        flat += [d["av"], d["bv"], d["slot"]]
+    probe = jax.device_put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, *flat, repeats=repeats,
+                             loop=loop)

@@ -432,6 +432,24 @@ def _spgemm_gustavson(
     return SpGEMMResult(c=c, schedule=sched, timings_ms=timings, stats=stats)
 
 
+def tile_occupancy_estimate(a: CSR, tm: int = 16, tn: int = 128) -> float:
+    """Mean nnz per occupied tile, computed without tiling (one vectorized
+    unique over tile coordinates). Low values mean the tiled formulation
+    is defeated (unstructured pattern — the regime the reference routes
+    to nsparse, `tilespgemm-cuda.h:2379`); high values favour the strip
+    kernel."""
+    if a.nnz == 0:
+        return 0.0
+    keys = ((a.rows_expanded().astype(np.int64) // tm) * cdiv(a.n, tn)
+            + a.indices.astype(np.int64) // tn)
+    return a.nnz / max(1, np.unique(keys).size)
+
+
+# tiles sparser than this route "auto" to the ESC engine (products per
+# occupied 16x128 tile; dense-ish bands are hundreds, random is ~1-4)
+ESC_OCCUPANCY_TH = 8.0
+
+
 def spgemm_csr(
     a: CSR,
     b: CSR | None = None,
@@ -450,9 +468,19 @@ def spgemm_csr(
     works, routed through the XLA slab backend. tm=64 is faster yet for
     large matrices (fewer, fuller tiles).
 
+    backend="esc" (or "auto" on unstructured patterns, decided by
+    tile_occupancy_estimate) bypasses tiling entirely and runs the
+    digit-ESC engine (ops/esc.py) — the nsparse-replacement path.
+
     With aat=True, B = A^T is produced directly in tile space
     (TileMat.transpose_tiles) — no CSR transpose round-trip.
     """
+    backend = kw.get("backend", "auto")
+    if backend == "esc" or (
+        backend == "auto"
+        and tile_occupancy_estimate(a, tm, tn) < ESC_OCCUPANCY_TH
+    ):
+        return _spgemm_csr_esc(a, b, aat=aat, **kw)
     at = csr_to_tiles(a, tm, tn)
     # Inner blocking must agree: A tiles are (tm, tn), so the B-role matrix
     # is tiled (tn, tn) and C comes out (tm, tn).
@@ -479,6 +507,48 @@ def spgemm_csr(
     if total_device_ms > 0:
         res.stats["gflops"] = 2.0 * nnz_cub / (total_device_ms * 1e6)
     return c_csr, res
+
+
+def _spgemm_csr_esc(a: CSR, b: CSR | None, *, aat: bool = False,
+                    backend: str = "auto", compute_dtype=jnp.float32,
+                    device=None, **_ignored) -> tuple[CSR, SpGEMMResult]:
+    """ESC-backend branch of spgemm_csr: no tiling, CSR in / CSR out."""
+    from spgemm_tpu.ops.esc import spgemm_esc
+
+    if aat:
+        if b is not None:
+            raise ValueError("pass either b or aat=True, not both")
+        b = a.transpose()
+    elif b is None:
+        if a.m != a.n:
+            raise ValueError(
+                "C = A^2 requires square A (reference main.cu:102-106)")
+        b = a
+    np_dt = (np.float64
+             if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
+             else np.float32)
+    if np_dt == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 SpGEMM needs jax_enable_x64=True "
+            "(jax.config.update('jax_enable_x64', True))"
+        )
+    c, timings, plan = spgemm_esc(a, b, dtype=np_dt)
+    nnz_cub = flop_count_spgemm(a, b)
+    stats = {
+        "num_pairs": float(plan.num_products),
+        "numblkC_candidate": 0.0,
+        "numblkC": 0.0,
+        "nnzC": float(c.nnz),
+        "nnzCub": float(nnz_cub),
+        "backend": "esc",
+    }
+    if c.nnz:
+        stats["compression"] = nnz_cub / c.nnz
+    if timings["numeric_ms"] > 0:
+        stats["gflops"] = 2.0 * nnz_cub / (timings["numeric_ms"] * 1e6)
+    res = SpGEMMResult(c=None, schedule=plan, timings_ms=timings,
+                       stats=stats)
+    return c, res
 
 
 # --- dense MXU backend ------------------------------------------------------

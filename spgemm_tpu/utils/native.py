@@ -213,6 +213,63 @@ def gustavson_symbolic_native(a, b, block_rows: int, max_b: int,
     return c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c
 
 
+def esc_symbolic_native(a, b, s_slots: int, f_max: int, w_min: int):
+    """Native symbolic for the digit-ESC engine (ops/esc.py): C pattern,
+    per-interval product counts, and the padded per-class operand-stream
+    fill. Returns (c_indptr i64, c_indices i32, flops, prod_cnt i64,
+    asrc, bsrc, slot, layout) or None if unavailable; `layout` is the
+    _sibling_layout result the fill was written against."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "esc_pattern_count"):
+        return None
+    lib.esc_pattern_count.restype = ctypes.c_int64
+    lib.esc_products_count.restype = ctypes.c_int64
+
+    m, n = a.m, b.n
+    ai = np.ascontiguousarray(a.indptr, np.int32)
+    aj = np.ascontiguousarray(a.indices, np.int32)
+    bi = np.ascontiguousarray(b.indptr, np.int32)
+    bj = np.ascontiguousarray(b.indices, np.int32)
+
+    c_indptr = np.zeros(m + 1, np.int32)
+    nnz_c = int(lib.esc_pattern_count(
+        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+        ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32)))
+
+    n_int = max(1, -(-nnz_c // s_slots))
+    c_indices = np.zeros(nnz_c, np.int32)
+    prod_cnt = np.zeros(n_int, np.int64)
+    flops = int(lib.esc_products_count(
+        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+        ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
+        _ptr(c_indices, I32), ctypes.c_int64(s_slots),
+        _ptr(prod_cnt, I64)))
+
+    from spgemm_tpu.ops.esc import _sibling_layout
+
+    layout = _sibling_layout(prod_cnt, nnz_c, s_slots, f_max, w_min)
+    asrc = np.full(layout["flat_total"], -1, np.int32)
+    bsrc = np.zeros(layout["flat_total"], np.int32)
+    slot = np.zeros(layout["flat_total"], np.int32)
+    av = np.zeros(layout["flat_total"], np.float64)
+    bv = np.zeros(layout["flat_total"], np.float64)
+    if flops:
+        ad = np.ascontiguousarray(a.data, np.float64)
+        bd = np.ascontiguousarray(b.data, np.float64)
+        lib.esc_fill(
+            _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+            _ptr(ad, F64), _ptr(bd, F64),
+            ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
+            _ptr(c_indices, I32), ctypes.c_int64(s_slots),
+            ctypes.c_int64(f_max),
+            _ptr(layout["sib_ptr"], I64), _ptr(layout["sib_base"], I64),
+            ctypes.c_int64(n_int),
+            _ptr(asrc, I32), _ptr(bsrc, I32), _ptr(slot, I32),
+            _ptr(av, F64), _ptr(bv, F64))
+    return (c_indptr.astype(np.int64), c_indices, flops, prod_cnt,
+            asrc, bsrc, slot, layout, av, bv)
+
+
 U16 = ctypes.POINTER(ctypes.c_uint16)
 F32 = ctypes.POINTER(ctypes.c_float)
 

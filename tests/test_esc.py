@@ -1,0 +1,166 @@
+"""Tests for the digit-ESC unstructured engine (ops/esc.py) — the
+nsparse-replacement path (`/root/reference/src/spgemm_nsparse_kernel.h`).
+All run on CPU (conftest forces jax_platforms=cpu); the engine is pure
+XLA ops, so CPU execution exercises the same computation graph as TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from spgemm_tpu.models.csr import CSR
+from spgemm_tpu.ops import golden
+from spgemm_tpu.ops.esc import (
+    build_esc_plan,
+    esc_numeric,
+    esc_trim,
+    spgemm_esc,
+    time_esc,
+)
+from spgemm_tpu.ops.spgemm import spgemm_csr, tile_occupancy_estimate
+
+rng = np.random.default_rng(42)
+
+
+def rand_csr(m, n, nnz, seed=None):
+    r = np.random.default_rng(seed if seed is not None else rng.integers(1 << 30))
+    return CSR.from_coo(
+        r.integers(0, m, nnz), r.integers(0, n, nnz),
+        r.standard_normal(nnz), (m, n),
+    )
+
+
+def assert_matches_oracle(a, b, rtol=1e-4):
+    c, tms, plan = spgemm_esc(a, b)
+    ref = golden.spgemm_scipy(a, b)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=rtol, atol=1e-6)
+    return c, plan
+
+
+def test_random_square():
+    a = rand_csr(300, 300, 4000, seed=1)
+    b = rand_csr(300, 300, 4000, seed=2)
+    c, plan = assert_matches_oracle(a, b)
+    assert plan.num_products > 0
+    assert c.nnz == plan.nnz_c
+
+
+def test_rectangular():
+    a = rand_csr(100, 250, 1500, seed=3)
+    b = rand_csr(250, 80, 1200, seed=4)
+    assert_matches_oracle(a, b)
+
+
+def test_wide_c_row_slot_range_split():
+    # one A row with thousands of nnz -> C row wider than the 2048-slot
+    # group space, exercising the slot-range subgroup path
+    m, k, n = 32, 3000, 5000
+    r = np.concatenate([np.zeros(3000, np.int64),
+                        np.arange(1, m, dtype=np.int64)])
+    c_ = np.concatenate([np.arange(3000),
+                         np.arange(1, m, dtype=np.int64)])
+    a = CSR.from_coo(r, c_, np.random.default_rng(5).standard_normal(r.size),
+                     (m, k))
+    b = rand_csr(k, n, 25000, seed=6)
+    _, plan = assert_matches_oracle(a, b)
+    assert max(np.diff(plan.c_indptr)) > 2048  # the split actually happened
+
+
+def test_dup_heavy_flop_split_siblings():
+    # dense band: ~60 products per output, forcing sibling groups over
+    # the same slot interval whose padded outputs the trim pass sums
+    nb = 256
+    offs = np.arange(-30, 31)
+    rr = np.repeat(np.arange(nb), offs.size)
+    cc = rr + np.tile(offs, nb)
+    keep = (cc >= 0) & (cc < nb)
+    vals = np.random.default_rng(7).standard_normal(int(keep.sum()))
+    a = CSR.from_coo(rr[keep], cc[keep], vals, (nb, nb))
+    assert_matches_oracle(a, a, rtol=1e-3)
+
+
+def test_structural_zeros_kept():
+    r = np.array([0, 0, 5, 9])
+    c_ = np.array([1, 3, 3, 9])
+    v = np.array([2.0, 0.0, 1.0, 3.0])  # explicit zero is structural
+    a = CSR.from_coo(r, c_, v, (10, 10))
+    c, _, _ = spgemm_esc(a, a)
+    ref = golden.spgemm_esc(a, a)
+    assert c.pattern_equal(ref)
+    assert np.allclose(c.data, ref.data)
+
+
+def test_empty_and_disjoint():
+    a = CSR.from_coo(np.array([1]), np.array([2]), np.array([5.0]), (4, 8))
+    b = CSR.from_coo(np.array([7]), np.array([0]), np.array([3.0]), (8, 3))
+    c, _, plan = spgemm_esc(a, b)
+    assert c.nnz == 0 and plan.num_products == 0
+    e = CSR.from_coo(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                     np.zeros(0), (5, 5))
+    c2, _, _ = spgemm_esc(e, e)
+    assert c2.nnz == 0
+
+
+def test_f64_exact():
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    a = rand_csr(128, 128, 900, seed=8)
+    c, _, _ = spgemm_esc(a, a, dtype=np.float64)
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-12)
+
+
+def test_plan_refresh_values():
+    a = rand_csr(150, 150, 1500, seed=9)
+    plan = build_esc_plan(a, a)
+    new = CSR(a.indptr, a.indices,
+              np.random.default_rng(10).standard_normal(a.nnz), a.shape)
+    plan.refresh_values(new.data, new.data)
+    c = esc_trim(plan, esc_numeric(plan))
+    ref = golden.spgemm_scipy(new, new)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4)
+
+
+def test_spgemm_csr_esc_backend_and_auto():
+    n = 4096
+    a = rand_csr(n, n, n * 6, seed=11)
+    assert tile_occupancy_estimate(a) < 8.0
+    c, res = spgemm_csr(a, backend="auto")
+    assert res.stats["backend"] == "esc"
+    ref = golden.spgemm_scipy(a, a)
+    assert golden.drop_explicit_zeros(c).allclose(ref, rtol=1e-4, atol=1e-6)
+    # aat
+    c2, res2 = spgemm_csr(a, aat=True, backend="esc")
+    ref2 = golden.spgemm_scipy(a, a.transpose())
+    assert golden.drop_explicit_zeros(c2).allclose(ref2, rtol=1e-4, atol=1e-6)
+    # structured input keeps the strip path
+    nb, offs = 512, np.arange(-8, 9)
+    rr = np.repeat(np.arange(nb), offs.size)
+    cc = rr + np.tile(offs, nb)
+    keep = (cc >= 0) & (cc < nb)
+    band = CSR.from_coo(rr[keep], cc[keep],
+                        np.ones(int(keep.sum())), (nb, nb))
+    _, res3 = spgemm_csr(band, backend="auto")
+    assert not str(res3.stats["backend"]).startswith("esc")
+
+
+def test_spgemm_csr_esc_errors():
+    a = rand_csr(4, 8, 6, seed=12)
+    with pytest.raises(ValueError, match="square"):
+        spgemm_csr(a, backend="esc")
+    sq = rand_csr(8, 8, 6, seed=13)
+    with pytest.raises(ValueError, match="either b or aat"):
+        spgemm_csr(sq, b=sq, aat=True, backend="esc")
+
+
+def test_time_esc_runs():
+    a = rand_csr(256, 256, 2000, seed=14)
+    plan = build_esc_plan(a, a)
+    ms, rtt = time_esc(plan, loop=3, repeats=1)
+    assert ms >= 0.0

@@ -106,7 +106,9 @@ def main(argv=None) -> int:
     import jax
 
     if args.backend is None:
-        args.backend = ("strip" if jax.default_backend() not in ("cpu",)
+        # auto resolves strip for structured patterns and esc for
+        # unstructured ones (spgemm.tile_occupancy_estimate)
+        args.backend = ("auto" if jax.default_backend() not in ("cpu",)
                         else "gustavson")
 
     from spgemm_tpu.io.mmio import read_mtx
@@ -195,6 +197,17 @@ def main(argv=None) -> int:
                                   if ms else "")
                 except ValueError as e:
                     print(f"  (device timing skipped: {e})", flush=True)
+            elif str(res.stats.get("backend", "")).startswith("esc"):
+                from spgemm_tpu.ops.esc import time_esc
+
+                try:
+                    ms, _ = time_esc(res.schedule, loop=20, repeats=2)
+                    dev_ms = round(ms, 3)
+                    dev_gflops = (round(2 * nnz_cub / (ms * 1e6), 2)
+                                  if ms else "")
+                except (ValueError, RuntimeError) as e:
+                    print(f"  (device timing skipped: {str(e)[:120]})",
+                          flush=True)
             elif str(res.stats.get("backend", "")).startswith("dense"):
                 from spgemm_tpu.models.tile import csr_to_tiles as c2t
                 from spgemm_tpu.ops.spgemm import time_dense

@@ -25,7 +25,7 @@ ref_sq = ad @ ad
 ref_aat = ad @ ad.T
 
 fails = 0
-for backend in ("strip", "gustavson", "dense", "xla"):
+for backend in ("strip", "gustavson", "dense", "esc", "xla"):
     c, res = spgemm_csr(a, backend=backend)
     got = c.to_dense()
     ok = np.allclose(got, ref_sq, rtol=1e-5, atol=1e-8)
@@ -48,6 +48,26 @@ c3, _ = spgemm_csr(ar, tm=16, tn=128, backend="strip")
 ok3 = np.allclose(c3.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
 print(f"random 700x700 strip ok={ok3}")
 fails += not ok3
+
+# the same random problem through the digit-ESC engine (auto picks it
+# for unstructured patterns), plus a skewed power-law-ish matrix with a
+# heavy row wider than one 2048-slot group
+c3e, res3e = spgemm_csr(ar, backend="esc")
+ok3e = np.allclose(c3e.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
+print(f"random 700x700 esc ok={ok3e}")
+fails += not ok3e
+hr = np.concatenate([np.zeros(2500, np.int64), rng.integers(1, 600, 4000)])
+hc = np.concatenate([rng.choice(3000, 2500, replace=False),
+                     rng.integers(0, 3000, 4000)])
+heavy = CSR.from_coo(hr, hc, rng.normal(size=hr.size), (600, 3000))
+tall = CSR.from_coo(rng.integers(0, 3000, 9000),
+                    rng.integers(0, 3000, 9000),
+                    rng.normal(size=9000), (3000, 3000))
+ch, resh = spgemm_csr(heavy, b=tall, backend="esc")
+okh = np.allclose(ch.to_dense(), heavy.to_dense() @ tall.to_dense(),
+                  rtol=1e-4, atol=1e-6)
+print(f"heavy-row 600x3000 esc ok={okh} backend={resh.stats['backend']}")
+fails += not okh
 
 # error paths
 try:
