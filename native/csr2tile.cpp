@@ -469,4 +469,114 @@ void esc_fill(
   }
 }
 
+// --- scan-mode ESC symbolic (ops/esc.py ScanPlan) --------------------------
+// Lays every partial product out dest-SORTED in (row, lane) form: window
+// w = dest/128 of C's value array; its products, counting-sorted by
+// dest, fill consecutive 128-lane rows. The device kernel then reduces
+// runs with a lane suffix-scan + dynamic_gather. Same role as the
+// reference's per-bin numeric launches (`tilespgemm-cuda.h:2649-2728`).
+
+// Pass 2 (scan flavour): fill sorted c_indices AND per-dest product
+// counts (c_dup). Returns F.
+int64_t esc_scan_count(
+    const int32_t* a_indptr, const int32_t* a_indices,
+    const int32_t* b_indptr, const int32_t* b_indices,
+    int64_t m, int64_t n, const int32_t* c_indptr,
+    int32_t* c_indices, int32_t* c_dup) {
+  std::vector<int64_t> stamp(n, -1);
+  std::vector<int32_t> pos(n);
+  int64_t flops = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t base = c_indptr[i];
+    int32_t cnt = 0;
+    int32_t* cols = c_indices + base;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int32_t j = b_indices[q];
+        if (stamp[j] != i) {
+          stamp[j] = i;
+          cols[cnt++] = j;
+        }
+      }
+    }
+    std::sort(cols, cols + cnt);
+    for (int32_t t = 0; t < cnt; ++t) pos[cols[t]] = t;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        ++c_dup[base + pos[b_indices[q]]];
+        ++flops;
+      }
+    }
+  }
+  return flops;
+}
+
+// Pass 3 (scan flavour): counting-sort products by dest into the padded
+// (R, 128) layout; emit run-start index map + validity and max in-row
+// run length.
+void esc_scan_fill(
+    const int32_t* a_indptr, const int32_t* a_indices,
+    const int32_t* b_indptr, const int32_t* b_indices,
+    const double* a_data, const double* b_data,
+    int64_t m, int64_t n, const int32_t* c_indptr,
+    const int32_t* c_indices, const int32_t* c_dup,
+    const int64_t* win_rowptr, int64_t n_win,
+    float* qv,                 // (R*128) f32 host-premultiplied products
+    int32_t* meta,             // (R*128) slot | idx<<7 | valid<<14
+    int32_t* asrc, int32_t* bsrc, int64_t* max_run_out) {
+  const int64_t nnz_c = c_indptr[m];
+  // per-dest start offset in the padded product stream
+  std::vector<int64_t> dest_off(nnz_c + 1, 0);
+  for (int64_t w = 0; w < n_win; ++w) {
+    int64_t running = win_rowptr[w] * 128;
+    const int64_t d1 = std::min<int64_t>((w + 1) * 128, nnz_c);
+    for (int64_t d = w * 128; d < d1; ++d) {
+      dest_off[d] = running;
+      running += c_dup[d];
+    }
+  }
+  // run-start index map + max in-row run
+  int64_t max_run = 1;
+  for (int64_t d = 0; d < nnz_c; ++d) {
+    const int64_t off = dest_off[d];
+    const int64_t dup = c_dup[d];
+    if (dup <= 0) continue;
+    const int32_t lane_s = (int32_t)(d & 127);
+    const int64_t r0 = off >> 7;
+    const int64_t r1 = (off + dup - 1) >> 7;
+    meta[r0 * 128 + lane_s] |= ((int32_t)(off & 127) << 7) | (1 << 14);
+    int64_t run0 = std::min<int64_t>(dup, 128 - (off & 127));
+    if (run0 > max_run) max_run = run0;
+    for (int64_t r = r0 + 1; r <= r1; ++r) {
+      meta[r * 128 + lane_s] |= (1 << 14);  // idx bits stay 0 (lane 0)
+      const int64_t rem = off + dup - r * 128;
+      const int64_t runr = std::min<int64_t>(rem, 128);
+      if (runr > max_run) max_run = runr;
+    }
+  }
+  *max_run_out = max_run;
+  // counting-sort fill
+  std::vector<int32_t> pos(n);
+  std::vector<int64_t> cursor(nnz_c, 0);
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t base = c_indptr[i];
+    const int32_t cnt = c_indptr[i + 1] - c_indptr[i];
+    for (int32_t t = 0; t < cnt; ++t) pos[c_indices[base + t]] = t;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      const double aval = a_data[p];
+      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+        const int64_t d = base + pos[b_indices[q]];
+        const int64_t o = dest_off[d] + cursor[d]++;
+        qv[o] = (float)(aval * b_data[q]);
+        meta[o] |= (int32_t)(d & 127);
+        asrc[o] = p;
+        bsrc[o] = q;
+      }
+    }
+  }
+}
+
 }  // extern "C"

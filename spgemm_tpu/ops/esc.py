@@ -64,6 +64,7 @@ class EscPlan:
     # host gather indices to refresh AV/BV from new a.data / b.data
     a_src: list[np.ndarray]       # per class: (G*W,) int64 into a.data, -1 pad
     b_src: list[np.ndarray]       # per class: (G*W,) int64 into b.data
+    s_slots: int = S_SLOTS        # slot positions per group
     symbolic_ms: float = 0.0
 
     def device_arrays(self, dtype=np.float32):
@@ -234,6 +235,7 @@ def build_esc_plan(a: CSR, b: CSR, *, s_slots: int = S_SLOTS,
         shape=(a.m, b.n), c_indptr=np.asarray(c_indptr, np.int64),
         c_indices=c_indices.astype(INDEX_DTYPE, copy=False), nnz_c=nnz_c,
         num_products=int(total), classes=[], a_src=[], b_src=[],
+        s_slots=s_slots,
     )
     for cls in layout["classes"]:
         g, w, o = cls["g"], cls["w"], cls["flat_ofs"]
@@ -267,21 +269,104 @@ def esc_digit_reduce(av, bv, slot, *, s_slots: int = S_SLOTS,
     simplifier folds the residuals (q - bf16(q) -> 0) and
     optimization_barrier forces HBM round-trips (15 ms) — that trick
     needs the Pallas version of this kernel."""
+    lo_w = min(LO_W, s_slots)
+    hi_w = s_slots // lo_w
+    shift = lo_w.bit_length() - 1
     q = av * bv                                    # (G, W)
-    lo = slot & (LO_W - 1)
-    hi = slot >> 5
-    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LO_W), 2)
-    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, HI_W), 2)
-    u = jnp.where(lo[:, :, None] == lo_iota, q[:, :, None], 0)  # (G,W,32)
-    ohh = (hi[:, :, None] == hi_iota).astype(av.dtype)          # (G,W,64)
+    lo = slot & (lo_w - 1)
+    hi = slot >> shift
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, lo_w), 2)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hi_w), 2)
+    u = jnp.where(lo[:, :, None] == lo_iota, q[:, :, None], 0)  # (G,W,lo)
+    ohh = (hi[:, :, None] == hi_iota).astype(av.dtype)          # (G,W,hi)
     out = jax.lax.dot_general(
         ohh, u,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32 if av.dtype != jnp.float64
         else jnp.float64,
         precision=precision,
-    )                                              # (G, 64, 32)
-    return out.reshape(out.shape[0], HI_W * LO_W)
+    )                                              # (G, hi, lo)
+    return out.reshape(out.shape[0], s_slots)
+
+
+GROUPS_PER_STEP = 8
+
+
+@functools.partial(
+    jax.jit, static_argnames=("s_slots", "lo_w", "interpret"))
+def esc_digit_pallas(av, bv, slot, *, s_slots: int, lo_w: int = 16,
+                     interpret: bool = False):
+    """Pallas version of esc_digit_reduce: the one-hot digit contraction
+    with every intermediate kept in VMEM. Two wins over the XLA einsum
+    (both measured, see esc_digit_reduce's docstring):
+
+    * the (W, lo_w) masked product tensor never touches HBM (XLA
+      materializes it — 2.4 GB at n=65536, the dominant cost);
+    * the f32 value stream is split into three bf16 limbs *in VMEM*
+      (q = q1 + q2 + q3 exactly; 24 mantissa bits) and contracted with
+      the exactly-representable 0/1 one-hot in three single-pass bf16
+      matmuls — f32-exact accuracy at half of HIGHEST's 6 passes.
+
+    Returns (G, hi_w, lo_w) f32; caller reshapes to (G, s_slots) —
+    row-major flattening is exactly slot order (slot = hi*lo_w + lo).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    g, w = av.shape
+    hi_w = s_slots // lo_w
+    shift = lo_w.bit_length() - 1
+    gps = GROUPS_PER_STEP
+    g_pad = -(-g // gps) * gps
+    if g_pad != g:
+        pad = ((0, g_pad - g), (0, 0))
+        av = jnp.pad(av, pad)
+        bv = jnp.pad(bv, pad)
+        slot = jnp.pad(slot, pad)
+
+    def kernel(av_ref, bv_ref, slot_ref, out_ref):
+        for i in range(gps):
+            q = av_ref[i : i + 1, :] * bv_ref[i : i + 1, :]   # (1, W)
+            s = slot_ref[i : i + 1, :]
+            lo = s & (lo_w - 1)
+            hi = s >> shift
+            ohh = (jax.lax.broadcasted_iota(jnp.int32, (hi_w, w), 0)
+                   == hi).astype(jnp.bfloat16)                # (hi_w, W)
+            # bf16 select is unsupported in Mosaic; a 0/1 bf16 mask
+            # multiply is exact and lowers cleanly
+            m = (jax.lax.broadcasted_iota(jnp.int32, (lo_w, w), 0)
+                 == lo).astype(jnp.bfloat16)                  # (lo_w, W)
+            q1 = q.astype(jnp.bfloat16)
+            r = q - q1.astype(jnp.float32)
+            q2 = r.astype(jnp.bfloat16)
+            q3 = (r - q2.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = jnp.zeros((hi_w, lo_w), jnp.float32)
+            for qq in (q1, q2, q3):
+                u_t = m * qq                                  # (lo_w, W)
+                acc = acc + jax.lax.dot_general(
+                    ohh, u_t,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            out_ref[i] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(g_pad // gps,),
+        in_specs=[
+            pl.BlockSpec((gps, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gps, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gps, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gps, hi_w, lo_w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g_pad, hi_w, lo_w), jnp.float32),
+        interpret=interpret,
+    )(av, bv, slot)
+    return out[:g].reshape(g, s_slots)
 
 
 def esc_numeric(plan: EscPlan, dev_arrays=None, *, dtype=np.float32,
@@ -292,7 +377,7 @@ def esc_numeric(plan: EscPlan, dev_arrays=None, *, dtype=np.float32,
     if dev_arrays is None:
         dev_arrays = plan.device_arrays(dtype)
     outs = [esc_digit_reduce(d["av"], d["bv"], d["slot"],
-                             precision=precision)
+                             s_slots=plan.s_slots, precision=precision)
             for d in dev_arrays]
     if sync:
         jax.block_until_ready(outs)
@@ -315,12 +400,266 @@ def esc_trim(plan: EscPlan, outs) -> CSR:
                c_val, plan.shape)
 
 
+# --- scan mode: sorted-run suffix-scan kernel ------------------------------
+# The faster formulation for f32: the host counting-sorts each 128-slot
+# window's products by destination and lays them out as (R, 128) lane
+# rows; the device runs a log-doubling segmented suffix-scan along lanes
+# (pure f32 VPU adds — exact) and extracts each run's sum with the
+# hardware dynamic_gather (take_along_axis axis=1, ~60 G elem/s
+# measured, tools/probe_dyngather.py). No one-hot masks, no matmuls.
+# This replaces the role of the reference's size-binned numeric kernels
+# (`tilespgemm-cuda.h:1273-2218`): runs longer than a row simply spill
+# into sibling rows whose partial sums the trim pass adds.
+
+SCAN_WIN = 128
+
+
+@dataclasses.dataclass
+class ScanPlan:
+    """Pattern-static plan for the scan kernel. Rows are (R, 128): row r
+    holds 128 consecutive dest-sorted products of one 128-slot window of
+    C's value array; win_rowptr[w] is the first row of window w.
+
+    qv carries the host-premultiplied products (f64 multiply rounded
+    once to f32 — strictly tighter than a device f32*f32). meta packs
+    per lane: bits 0-6 slot (dest & 127), bits 7-13 the run-start lane
+    this slot gathers from, bit 14 slot-present."""
+
+    shape: tuple[int, int]
+    c_indptr: np.ndarray
+    c_indices: np.ndarray
+    nnz_c: int
+    num_products: int
+    qv: np.ndarray               # (R, 128) f32
+    meta: np.ndarray             # (R, 128) int32 packed
+    win_rowptr: np.ndarray       # (n_win + 1,) int64
+    a_src: np.ndarray            # (R, 128) int32, -1 padding
+    b_src: np.ndarray
+    passes: int                  # ceil(log2(max in-row run length))
+    symbolic_ms: float = 0.0
+
+    def device_arrays(self):
+        return dict(
+            qv=jnp.asarray(self.qv),
+            meta=jnp.asarray(self.meta),
+        )
+
+    def refresh_values(self, a_data: np.ndarray, b_data: np.ndarray):
+        ok = self.a_src >= 0
+        self.qv = (np.where(ok, a_data[np.maximum(self.a_src, 0)], 0.0)
+                   * np.where(ok, b_data[np.maximum(self.b_src, 0)], 0.0)
+                   ).astype(np.float32)
+
+
+def build_esc_scan_plan(a: CSR, b: CSR) -> ScanPlan:
+    """Host symbolic for scan mode. Native C++ fast path
+    (native/csr2tile.cpp:esc_scan_fill) with a vectorized NumPy
+    fallback (argsort by destination = the counting sort)."""
+    t0 = time.perf_counter()
+    if a.n != b.m:
+        raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    from spgemm_tpu.utils.native import esc_scan_symbolic_native
+
+    res = esc_scan_symbolic_native(a, b)
+    if res is None:
+        res = _esc_scan_symbolic_numpy(a, b)
+    (c_indptr, c_indices, total, qv, meta,
+     win_rowptr, asrc, bsrc, max_run) = res
+    plan = ScanPlan(
+        shape=(a.m, b.n), c_indptr=np.asarray(c_indptr, np.int64),
+        c_indices=c_indices.astype(INDEX_DTYPE, copy=False),
+        nnz_c=int(c_indptr[-1]), num_products=int(total),
+        qv=qv, meta=meta,
+        win_rowptr=win_rowptr, a_src=asrc, b_src=bsrc,
+        passes=max(0, int(max_run - 1).bit_length()),
+    )
+    plan.symbolic_ms = (time.perf_counter() - t0) * 1e3
+    return plan
+
+
+def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
+    """NumPy scan-mode symbolic: global stable argsort by destination is
+    the counting sort; everything else is layout arithmetic."""
+    c_indptr, c_indices = _structural_pattern(a, b)
+    nnz_c = int(c_indptr[-1])
+    n = b.n
+    a_idx, b_idx, rows, cols = _expand_products(a, b)
+    total = a_idx.size
+    n_win = max(1, -(-nnz_c // SCAN_WIN))
+    if total == 0:
+        zf = np.zeros((0, SCAN_WIN), np.float32)
+        zi = np.zeros((0, SCAN_WIN), np.int32)
+        return (c_indptr, c_indices.astype(np.int32), 0, zf, zi,
+                np.zeros(n_win + 1, np.int64), zi, zi, 1)
+    c_rows = np.repeat(np.arange(a.m, dtype=np.int64),
+                       np.diff(c_indptr).astype(np.int64))
+    c_keys = c_rows * n + c_indices
+    dest = np.searchsorted(c_keys, rows * n + cols)
+    del c_keys, c_rows, rows, cols
+
+    order = np.argsort(dest, kind="stable")
+    ds = dest[order]
+    win = ds >> 7
+    wcnt = np.bincount(win, minlength=n_win).astype(np.int64)
+    wrows = np.maximum(1, -(-wcnt // SCAN_WIN))
+    win_rowptr = np.zeros(n_win + 1, np.int64)
+    np.cumsum(wrows, out=win_rowptr[1:])
+    r_total = int(win_rowptr[-1])
+    padbase = win_rowptr[:-1] * SCAN_WIN
+    start = np.zeros(n_win + 1, np.int64)
+    np.cumsum(wcnt, out=start[1:])
+    pos = padbase[win] + (np.arange(total, dtype=np.int64) - start[win])
+    prow, plane = pos >> 7, (pos & 127).astype(np.int64)
+
+    qv = np.zeros((r_total, SCAN_WIN), np.float32)
+    meta = np.zeros((r_total, SCAN_WIN), np.int32)
+    asrc = np.full((r_total, SCAN_WIN), -1, np.int32)
+    bsrc = np.zeros((r_total, SCAN_WIN), np.int32)
+    qv[prow, plane] = (a.data[a_idx[order]]
+                       * b.data[b_idx[order]]).astype(np.float32)
+    meta[prow, plane] = (ds & 127).astype(np.int32)
+    asrc[prow, plane] = a_idx[order].astype(np.int32)
+    bsrc[prow, plane] = b_idx[order].astype(np.int32)
+
+    # run starts: first product of each (row, dest) pair
+    fir = np.concatenate(([True], (ds[1:] != ds[:-1])
+                          | (prow[1:] != prow[:-1])))
+    meta[prow[fir], (ds[fir] & 127)] |= (
+        (plane[fir].astype(np.int32) << 7) | (1 << 14))
+    # max in-row run length
+    runlen = np.diff(np.append(np.flatnonzero(fir), total))
+    max_run = int(runlen.max()) if runlen.size else 1
+    return (c_indptr, c_indices.astype(np.int32), total, qv, meta,
+            win_rowptr, asrc, bsrc, max_run)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("passes", "block_rows", "interpret"))
+def esc_scan_pallas(qv, meta, *, passes: int = 7,
+                    block_rows: int = 2048, interpret: bool = False):
+    """The scan kernel: log-doubling segmented suffix-scan along lanes
+    (equal adjacent slots = one run, rows sorted by host); one
+    dynamic_gather (take_along_axis axis=1) pulls each run's total to
+    its slot lane. 8 bytes of HBM traffic per product, pure f32 adds."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, wn = qv.shape
+    blk = min(block_rows, max(8, r))
+    r_pad = -(-max(r, 1) // blk) * blk
+    if r_pad != r:
+        pad = ((0, r_pad - r), (0, 0))
+        qv, meta = jnp.pad(qv, pad), jnp.pad(meta, pad)
+
+    def kernel(qv_ref, m_ref, out_ref):
+        q = qv_ref[:]
+        mt = m_ref[:]
+        s = mt & 127
+        idx = (mt >> 7) & 127
+        val = (mt >> 14).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, wn), 1)
+        for k in range(passes):
+            d = 1 << k
+            # left-roll by d == right-roll by wn - d (pltpu.roll wants
+            # a non-negative shift)
+            qr = pltpu.roll(q, wn - d, axis=1)
+            sr = pltpu.roll(s, wn - d, axis=1)
+            ok = (sr == s) & (lane < wn - d)
+            q = q + jnp.where(ok, qr, 0.0)
+        out_ref[:] = jnp.take_along_axis(q, idx, axis=1) * val
+
+    bs = lambda: pl.BlockSpec((blk, wn), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // blk,),
+        in_specs=[bs(), bs()],
+        out_specs=bs(),
+        out_shape=jax.ShapeDtypeStruct((r_pad, wn), jnp.float32),
+        interpret=interpret,
+    )(qv, meta)
+    return out[:r]
+
+
+def esc_scan_numeric(plan: ScanPlan, dev=None, *, sync: bool = True,
+                     interpret: bool | None = None):
+    if dev is None:
+        dev = plan.device_arrays()
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    out = esc_scan_pallas(dev["qv"], dev["meta"], passes=plan.passes,
+                          interpret=interpret)
+    if sync:
+        jax.block_until_ready(out)
+    return out
+
+
+def esc_scan_trim(plan: ScanPlan, out) -> CSR:
+    """Rows of one window are siblings: one reduceat sums them; the
+    window-major flattening is exactly C's value order."""
+    c_val = np.zeros(plan.nnz_c, np.float64)
+    if plan.nnz_c:
+        arr = np.asarray(out, np.float64)
+        sums = np.add.reduceat(arr, plan.win_rowptr[:-1], axis=0)
+        c_val[:] = sums.reshape(-1)[: plan.nnz_c]
+    return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+               c_val, plan.shape)
+
+
+def time_esc_scan(plan: ScanPlan, *, loop: int = 20,
+                  repeats: int = 2) -> tuple[float, float]:
+    """Amortized device time of the scan kernel (chained)."""
+    from spgemm_tpu.utils.timing import chained_device_ms
+
+    dev = plan.device_arrays()
+    jax.block_until_ready(dev["qv"])
+
+    @jax.jit
+    def chain(qv, meta):
+        def body(i, acc):
+            out = esc_scan_pallas(qv + acc * 1e-30, meta,
+                                  passes=plan.passes)
+            return acc + jnp.sum(out[-1, -8:])
+
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    probe = jax.device_put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, dev["qv"], dev["meta"],
+                             repeats=repeats, loop=loop)
+
+
 def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
-               plan: EscPlan | None = None):
-    """End-to-end unstructured SpGEMM: C = A @ B through the digit-ESC
-    engine. Returns (CSR, timings dict, plan). The plan is reusable for
-    new values of the same pattern (plan.refresh_values)."""
+               plan: "EscPlan | ScanPlan | None" = None,
+               mode: str = "auto"):
+    """End-to-end unstructured SpGEMM: C = A @ B through the ESC engine.
+    Returns (CSR, timings dict, plan). The plan is reusable for new
+    values of the same pattern (plan.refresh_values).
+
+    mode="scan" (f32 default) runs the sorted-run suffix-scan Pallas
+    kernel; mode="digit" runs the one-hot digit contraction (the f64
+    path — the scan kernel is f32-only)."""
+    if mode == "auto":
+        mode = "digit" if np.dtype(dtype) == np.float64 else "scan"
+    if plan is not None:
+        mode = "scan" if isinstance(plan, ScanPlan) else "digit"
     timings: dict[str, float] = {}
+
+    if mode == "scan":
+        if plan is None:
+            plan = build_esc_scan_plan(a, b)
+        timings["symbolic_ms"] = plan.symbolic_ms
+        t0 = time.perf_counter()
+        dev = plan.device_arrays()
+        jax.block_until_ready(dev["qv"])
+        timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        out = esc_scan_numeric(plan, dev)
+        timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        c = esc_scan_trim(plan, out)
+        timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+        return c, timings, plan
+
     if plan is None:
         plan = build_esc_plan(a, b)
     timings["symbolic_ms"] = plan.symbolic_ms
@@ -338,6 +677,13 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
     c = esc_trim(plan, outs)
     timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
     return c, timings, plan
+
+
+def time_esc_any(plan, **kw) -> tuple[float, float]:
+    """Dispatch amortized device timing by plan type."""
+    if isinstance(plan, ScanPlan):
+        return time_esc_scan(plan, **kw)
+    return time_esc(plan, **kw)
 
 
 def time_esc(plan: EscPlan, *, dtype=np.float32, loop: int = 20,
@@ -361,6 +707,7 @@ def time_esc(plan: EscPlan, *, dtype=np.float32, loop: int = 20,
             s = acc
             for av, bv, slot in arrs:
                 out = esc_digit_reduce(av + acc * 1e-30, bv, slot,
+                                       s_slots=plan.s_slots,
                                        precision=prec)
                 s = s + jnp.sum(out[-1, -8:])
             return s

@@ -270,6 +270,67 @@ def esc_symbolic_native(a, b, s_slots: int, f_max: int, w_min: int):
             asrc, bsrc, slot, layout, av, bv)
 
 
+def esc_scan_symbolic_native(a, b):
+    """Native symbolic for the scan-mode ESC kernel (ops/esc.py
+    ScanPlan): dest-sorted (R, 128) row layout, run-start index map.
+    Returns the _esc_scan_symbolic_numpy tuple or None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "esc_scan_fill"):
+        return None
+    lib.esc_pattern_count.restype = ctypes.c_int64
+    lib.esc_scan_count.restype = ctypes.c_int64
+
+    m, n = a.m, b.n
+    ai = np.ascontiguousarray(a.indptr, np.int32)
+    aj = np.ascontiguousarray(a.indices, np.int32)
+    bi = np.ascontiguousarray(b.indptr, np.int32)
+    bj = np.ascontiguousarray(b.indices, np.int32)
+
+    c_indptr = np.zeros(m + 1, np.int32)
+    nnz_c = int(lib.esc_pattern_count(
+        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+        ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32)))
+
+    n_win = max(1, -(-nnz_c // 128))
+    c_indices = np.zeros(nnz_c, np.int32)
+    c_dup = np.zeros(max(nnz_c, 1), np.int32)
+    flops = int(lib.esc_scan_count(
+        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+        ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
+        _ptr(c_indices, I32), _ptr(c_dup, I32)))
+
+    # window row layout (python: vectorized over n_win)
+    wcnt = np.add.reduceat(
+        c_dup[:nnz_c].astype(np.int64),
+        np.arange(0, nnz_c, 128, dtype=np.int64),
+    ) if nnz_c else np.zeros(1, np.int64)
+    if wcnt.size < n_win:
+        wcnt = np.concatenate([wcnt, np.zeros(n_win - wcnt.size, np.int64)])
+    wrows = np.maximum(1, -(-wcnt // 128))
+    win_rowptr = np.zeros(n_win + 1, np.int64)
+    np.cumsum(wrows, out=win_rowptr[1:])
+    r_total = int(win_rowptr[-1])
+
+    qv = np.zeros((r_total, 128), np.float32)
+    meta = np.zeros((r_total, 128), np.int32)
+    asrc = np.full((r_total, 128), -1, np.int32)
+    bsrc = np.zeros((r_total, 128), np.int32)
+    max_run = np.zeros(1, np.int64)
+    if flops:
+        ad = np.ascontiguousarray(a.data, np.float64)
+        bd = np.ascontiguousarray(b.data, np.float64)
+        lib.esc_scan_fill(
+            _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+            _ptr(ad, F64), _ptr(bd, F64),
+            ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
+            _ptr(c_indices, I32), _ptr(c_dup, I32),
+            _ptr(win_rowptr, I64), ctypes.c_int64(n_win),
+            _ptr(qv, F32), _ptr(meta, I32),
+            _ptr(asrc, I32), _ptr(bsrc, I32), _ptr(max_run, I64))
+    return (c_indptr.astype(np.int64), c_indices, flops, qv, meta,
+            win_rowptr, asrc, bsrc, max(1, int(max_run[0])))
+
+
 U16 = ctypes.POINTER(ctypes.c_uint16)
 F32 = ctypes.POINTER(ctypes.c_float)
 

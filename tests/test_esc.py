@@ -31,11 +31,13 @@ def rand_csr(m, n, nnz, seed=None):
 
 
 def assert_matches_oracle(a, b, rtol=1e-4):
-    c, tms, plan = spgemm_esc(a, b)
-    ref = golden.spgemm_scipy(a, b)
-    got = golden.drop_explicit_zeros(c)
-    assert got.pattern_equal(ref)
-    assert np.allclose(got.data, ref.data, rtol=rtol, atol=1e-6)
+    # both numeric formulations must agree with the oracle
+    for mode in ("scan", "digit"):
+        c, tms, plan = spgemm_esc(a, b, mode=mode)
+        ref = golden.spgemm_scipy(a, b)
+        got = golden.drop_explicit_zeros(c)
+        assert got.pattern_equal(ref), mode
+        assert np.allclose(got.data, ref.data, rtol=rtol, atol=1e-6), mode
     return c, plan
 
 
@@ -65,7 +67,7 @@ def test_wide_c_row_slot_range_split():
                      (m, k))
     b = rand_csr(k, n, 25000, seed=6)
     _, plan = assert_matches_oracle(a, b)
-    assert max(np.diff(plan.c_indptr)) > 2048  # the split actually happened
+    assert max(np.diff(plan.c_indptr)) > 2048  # wider than a digit group
 
 
 def test_dup_heavy_flop_split_siblings():
@@ -164,3 +166,39 @@ def test_time_esc_runs():
     plan = build_esc_plan(a, a)
     ms, rtt = time_esc(plan, loop=3, repeats=1)
     assert ms >= 0.0
+
+
+def test_scan_plan_refresh_and_trim():
+    from spgemm_tpu.ops.esc import (build_esc_scan_plan, esc_scan_numeric,
+                                    esc_scan_trim)
+
+    a = rand_csr(200, 200, 2400, seed=15)
+    plan = build_esc_scan_plan(a, a)
+    new = CSR(a.indptr, a.indices,
+              np.random.default_rng(16).standard_normal(a.nnz), a.shape)
+    plan.refresh_values(new.data, new.data)
+    c = esc_scan_trim(plan, esc_scan_numeric(plan))
+    ref = golden.spgemm_scipy(new, new)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+
+
+def test_scan_numpy_fallback_matches_native():
+    import os
+
+    from spgemm_tpu.ops.esc import (build_esc_scan_plan, esc_scan_numeric,
+                                    esc_scan_trim)
+
+    a = rand_csr(150, 150, 2000, seed=17)
+    plans = {}
+    for native in ("1", "0"):
+        os.environ["SPGEMM_TPU_NATIVE"] = native
+        try:
+            plans[native] = build_esc_scan_plan(a, a)
+        finally:
+            os.environ.pop("SPGEMM_TPU_NATIVE", None)
+    ca = esc_scan_trim(plans["1"], esc_scan_numeric(plans["1"]))
+    cb = esc_scan_trim(plans["0"], esc_scan_numeric(plans["0"]))
+    assert ca.pattern_equal(cb)
+    assert np.allclose(ca.data, cb.data, rtol=1e-6)

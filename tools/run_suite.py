@@ -198,10 +198,10 @@ def main(argv=None) -> int:
                 except ValueError as e:
                     print(f"  (device timing skipped: {e})", flush=True)
             elif str(res.stats.get("backend", "")).startswith("esc"):
-                from spgemm_tpu.ops.esc import time_esc
+                from spgemm_tpu.ops.esc import time_esc_any
 
                 try:
-                    ms, _ = time_esc(res.schedule, loop=20, repeats=2)
+                    ms, _ = time_esc_any(res.schedule, loop=20, repeats=2)
                     dev_ms = round(ms, 3)
                     dev_gflops = (round(2 * nnz_cub / (ms * 1e6), 2)
                                   if ms else "")
