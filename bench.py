@@ -104,18 +104,56 @@ def main():
 
     numeric_ms, rtt_ms = ex.time_numeric(loop=LOOP, repeats=REPEATS)
 
+    # honest end-to-end: one full pipeline pass producing the tiled C on
+    # host — numeric + DEVICE-side compaction + candidate-proportional
+    # D2H + TileMat assembly (wall clock; on this tunneled setup the D2H
+    # bandwidth dominates, so it is measured and reported alongside)
+    t0 = time.perf_counter()
+    dl_probe = np.asarray(c_cnt[: min(512, c_cnt.shape[0])])
+    d2h_mbps = dl_probe.nbytes / 1e6 / max(time.perf_counter() - t0, 1e-9)
+    t0 = time.perf_counter()
+    c_tiles = ex.run_compact()
+    e2e_best = (time.perf_counter() - t0) * 1e3
+    e2e_ms = convert_ms + sym_best + e2e_best
+
     runtime_ms = sym_best + numeric_ms
     gflops = 2.0 * nnz_cub / (runtime_ms * 1e6)
+
+    # roofline: speed-of-light from peak flops vs the kernel's modelled
+    # ACTUAL DMA volume (StripArgs.traffic_bytes — A once, B per delivery
+    # mode, padded C writeback + compaction), per the north-star per-
+    # kernel accounting (BASELINE.md)
+    from spgemm_tpu.utils.roofline import ChipSpec
+
+    chip = ChipSpec.v5e()
+    tr = sargs.traffic_bytes()
+    mxu_flops = 4.0 * sargs.num_pairs * TM * sargs.tk * TN  # val+occ passes
+    sol_ms = max(mxu_flops / chip.peak_flops_f32,
+                 tr["total"] / chip.peak_hbm_bw) * 1e3
+    sol_pct = 100.0 * sol_ms / numeric_ms if numeric_ms else 0.0
+
     print(f"# rtt_ms={rtt_ms:.1f} numeric_ms={numeric_ms:.2f} "
           f"symbolic_ms={sym_best:.2f} runtime_ms={runtime_ms:.2f} "
           f"nnzC={nnz_c} compression={nnz_cub/max(nnz_c,1):.2f}",
           file=sys.stderr)
+    print(f"# e2e_ms={e2e_ms:.1f} (convert {convert_ms:.1f} + symbolic "
+          f"{sym_best:.1f} + numeric/compact/D2H/assemble {e2e_best:.1f}; "
+          f"tunnel rtt {rtt_ms:.1f} ms, measured D2H {d2h_mbps:.1f} MB/s "
+          f"for the ~{sargs.nt_c*TM*TN*4/1e6:.0f} MB compacted result) "
+          f"nnzC_tiles={c_tiles.nt}", file=sys.stderr)
+    print(f"# roofline: traffic A={tr['a']/1e6:.0f}MB B={tr['b']/1e6:.0f}MB "
+          f"C={tr['c']/1e6:.0f}MB compact={tr['compact']/1e6:.0f}MB "
+          f"-> SoL {sol_ms:.2f} ms, attained {numeric_ms:.2f} ms "
+          f"({sol_pct:.0f}% of SoL)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "spgemm_cantlike_gflops",
         "value": round(gflops, 2),
         "unit": "GFLOPS",
         "vs_baseline": round(gflops / BASELINE_GFLOPS, 3),
+        "e2e_ms": round(e2e_ms, 1),
+        "sol_ms": round(sol_ms, 3),
+        "sol_pct": round(sol_pct, 1),
     }))
 
 

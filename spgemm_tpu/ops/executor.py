@@ -70,14 +70,15 @@ class StripExecutor:
         )
 
     def run_compact(self) -> TileMat:
-        """run() + host gather + compaction to a TileMat."""
+        """run() + device-side compaction (candidate gather + packed
+        occupancy, gustavson.download_compact) + TileMat assembly."""
+        from spgemm_tpu.ops.gustavson import download_compact
         from spgemm_tpu.ops.spgemm import _compact_to_tilemat
 
         c_val, c_cnt = self.run()
-        c_val = np.asarray(c_val)[self.args.gather_idx]
-        c_cnt = np.asarray(c_cnt, dtype=np.float32)[self.args.gather_idx]
+        c_val, c_occ = download_compact(c_val, c_cnt, self.args)
         return _compact_to_tilemat(
-            self.args.ctrow, self.args.ctcol, c_val, c_cnt,
+            self.args.ctrow, self.args.ctcol, c_val, c_occ,
             self.shape, self.args.tm, self.args.tn,
         )
 

@@ -294,6 +294,37 @@ class StripArgs:
             return base + (self.kmin, self.meta)
         return base + (self.ak, self.slots)
 
+    def traffic_bytes(self) -> dict:
+        """Modelled HBM traffic of one numeric dispatch + compaction
+        (the kernel's ACTUAL DMA volume, not the roofline minimum):
+        A tiles streamed once per block; B slabs per the delivery mode
+        (windowed: the full window each block; cached: one fetch per
+        distinct k per block — a lower bound, conflict evictions in the
+        direct-mapped cache refetch); block-padded C written once (values
+        + counts) then re-read and compacted to nt_c tiles."""
+        occ = self.a_occ.dtype.itemsize
+        both = self.dtype.itemsize + occ
+        a_bytes = self.a_val.shape[0] * self.tm * self.tk * both
+        slab = self.tk * self.max_b * self.tn * both
+        n_blocks = max(1, -(-self.gm // self.block_rows))
+        if self.kwin is not None:
+            b_bytes = n_blocks * self.kwin * slab
+        else:
+            aptr = self.aptr.astype(np.int64)
+            starts = np.minimum(
+                np.arange(0, self.gm + 1, self.block_rows), self.gm)
+            if starts[-1] != self.gm:
+                starts = np.append(starts, self.gm)
+            uniq = 0
+            for lo, hi in zip(aptr[starts[:-1]], aptr[starts[1:]]):
+                uniq += np.unique(self.ak[lo:hi]).size
+            b_bytes = int(uniq) * slab
+        padded = n_blocks * self.max_cblock * self.tm * self.tn
+        c_bytes = padded * 8          # val + cnt f32 written once
+        compact = padded * 8 + self.nt_c * self.tm * self.tn * 4
+        return dict(a=a_bytes, b=b_bytes, c=c_bytes, compact=compact,
+                    total=a_bytes + b_bytes + c_bytes + compact)
+
     def vmem_bytes(self) -> int:
         from spgemm_tpu.ops.pallas_kernels import B_CACHE_SLOTS
 
@@ -569,14 +600,47 @@ def build_strip_args(
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def strip_compact_device(c_val, c_cnt, gidx):
+    """Device-side result compaction (the reference keeps step outputs
+    on the GPU and downloads once, `tilespgemm-cuda.h:2749-2776`; round 1
+    downloaded the whole block-padded array and compacted on host):
+    gather the real candidate tiles out of the block-padded layout (an
+    8 KB-per-tile row gather — the fast gather class) and reduce the
+    structural counts to packed occupancy bitmask words (1/32 of the
+    download volume). Returns (values (nt_c, tm, tn) f32,
+    occ_words (nt_c, tm, tn/32) int32)."""
+    v = jnp.take(c_val, gidx, axis=0)
+    cnt = jnp.take(c_cnt, gidx, axis=0)
+    tm, tn = v.shape[1], v.shape[2]
+    occ = (cnt > 0).reshape(-1, tm, tn // 32, 32).astype(jnp.int32)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 32), 3)
+    words = jnp.sum(occ << shifts, axis=3, dtype=jnp.int32)
+    return v, words
+
+
+def unpack_occ_words(words: np.ndarray, tn: int) -> np.ndarray:
+    """Host: expand packed occupancy words back to a (nt, tm, tn) bool
+    array for TileMat assembly (np.unpackbits — the words are LSB-first
+    int32, which is little-endian byte order)."""
+    by = np.ascontiguousarray(words).view(np.uint8)
+    bits = np.unpackbits(by, axis=-1, bitorder="little")
+    return bits.reshape(words.shape[0], words.shape[1], -1)[
+        :, :, :tn].astype(bool)
+
+
 def strip_numeric(
     args: StripArgs,
     *,
     acc_dtype=jnp.float32,
     interpret: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Run the Pallas strip kernel; returns (c_val, c_cnt) as host arrays
-    in candidate order (gather from the block-padded layout)."""
+    """Run the Pallas strip kernel; returns (c_val, c_occ) host arrays in
+    candidate order — compaction (candidate gather + occupancy packing)
+    happens ON DEVICE and only (nt_c, tm, tn) values plus nt_c*tm*tn/32
+    bitmask words are downloaded, not the block-padded layout. c_occ is
+    exact 0/1 structural occupancy (f32) — replacing round 1's
+    approximate bf16 product counts."""
     from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
 
     if interpret is None:
@@ -592,9 +656,22 @@ def strip_numeric(
         **args.kernel_kwargs(),
         acc_dtype=acc_dtype, interpret=interpret,
     )
-    c_val = np.asarray(c_val)
-    c_cnt = np.asarray(c_cnt, dtype=np.float32)
-    return c_val[args.gather_idx], c_cnt[args.gather_idx]
+    return download_compact(c_val, c_cnt, args)
+
+
+def download_compact(c_val, c_cnt, args: StripArgs
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Device-compact then download (nt_c-proportional); tn not a
+    multiple of 32 (CPU-test tile shapes) skips bit packing."""
+    gidx = jnp.asarray(args.gather_idx.astype(np.int32))
+    if args.tn % 32 == 0:
+        v, words = strip_compact_device(c_val, c_cnt, gidx)
+        v = np.asarray(v)
+        occ = unpack_occ_words(np.asarray(words), v.shape[2])
+        return v, occ.astype(np.float32)
+    v = jnp.take(c_val, gidx, axis=0)
+    cnt = jnp.take(c_cnt, gidx, axis=0)
+    return np.asarray(v), (np.asarray(cnt) > 0).astype(np.float32)
 
 
 def estimate_strip_vmem(a: TileMat, b: TileMat, block_rows: int,
