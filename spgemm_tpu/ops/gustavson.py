@@ -337,7 +337,8 @@ class StripArgs:
                 + 2 * (self.max_cblock + 1) * self.tm * self.tn * both)
 
 
-def _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock):
+def _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock,
+                          max_cblock_min=1):
     """NumPy fallback for the native symbolic phase. Returns the same
     tuple as utils.native.gustavson_symbolic_native."""
     gk, c_gn = a.gn, b.gn
@@ -371,7 +372,8 @@ def _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock):
     block_starts = np.minimum(
         np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
     per_block_c = np.diff(c_tptr[block_starts])
-    max_cblock = max(1, int(per_block_c.max()) if per_block_c.size else 1)
+    max_cblock = max(max_cblock_min,
+                     int(per_block_c.max()) if per_block_c.size else 1)
 
     # block-local C slot per (A tile, y) pair; padded -> max_cblock
     jpos = np.zeros(gk * max_b, dtype=np.int64)
@@ -427,17 +429,20 @@ def block_k_stats(a: TileMat, block_rows: int):
 
 
 def run_strip_symbolic(a: TileMat, b: TileMat, block_rows: int, max_b: int,
-                       max_ablock: int):
+                       max_ablock: int, max_cblock_min: int = 1):
     """The per-run symbolic phase alone (native C++ with NumPy fallback):
     C tile dictionary + per-pair slot table + gather map. Callers that
     re-measure or re-derive the symbolic step use this without paying for
-    operand packing."""
+    operand packing. `max_cblock_min` forces a larger block-padded C
+    geometry (distributed plans unify geometry across shards)."""
     from spgemm_tpu.utils.native import gustavson_symbolic_native
 
     sym = gustavson_symbolic_native(a, b, block_rows, max_b,
-                                    a.nt + max_ablock)
+                                    a.nt + max_ablock,
+                                    max_cblock_min=max_cblock_min)
     if sym is None:
-        sym = _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock)
+        sym = _numpy_strip_symbolic(a, b, block_rows, max_b, max_ablock,
+                                    max_cblock_min=max_cblock_min)
     return sym
 
 
@@ -446,6 +451,8 @@ def build_strip_args(
     dtype=np.float32, occ_dtype=None,
     reuse: StripArgs | None = None,
     window: bool | None = None,
+    b_packed: tuple | None = None,
+    min_geometry: dict | None = None,
 ) -> StripArgs:
     """Build the complete strip-kernel plan: one-time format prep (A
     packing + stacked B slabs) and the per-run symbolic phase.
@@ -458,7 +465,13 @@ def build_strip_args(
     fetched as one contiguous prefetched DMA): None = auto (on when every
     block's k span is small and contiguous enough), False = always use
     the cached-fetch variant (required by the distributed path, whose
-    per-device plans share one global B layout)."""
+    per-device plans share one global B layout).
+
+    `b_packed` supplies pre-packed (b_val, b_occ) slabs so distributed
+    per-shard builds pack B once, and `min_geometry` forces lower bounds
+    on {"max_ablock", "max_cblock", "kwin"} so per-shard plans share the
+    kernel's static geometry (shard_map needs identical shapes)."""
+    mg = min_geometry or {}
     if occ_dtype is None:
         # bfloat16 occupancy: exact 0/1 inputs, sign-safe >0 pattern test
         import jax.numpy as _jnp
@@ -479,7 +492,8 @@ def build_strip_args(
     block_starts = np.minimum(
         np.append(np.arange(0, a.gm, block_rows), a.gm), a.gm)
     per_block = np.diff(aptr64[block_starts])
-    max_ablock = max(1, int(per_block.max()) if per_block.size else 1)
+    max_ablock = max(mg.get("max_ablock", 1),
+                     int(per_block.max()) if per_block.size else 1)
 
     ak = np.zeros(a.nt + max_ablock, dtype=INDEX_DTYPE)
     ak[: a.nt] = a.tcol
@@ -491,7 +505,21 @@ def build_strip_args(
     import jax.numpy as _jnp
 
     packed = None
-    if reuse is not None and reuse.dtype == dtype and reuse.max_b == max_b:
+    if b_packed is not None:
+        ap = None
+        if dtype == np.float32 and occ_dtype == _jnp.bfloat16:
+            from spgemm_tpu.utils.native import pack_a_tiles_native
+
+            ap = pack_a_tiles_native(a, max_ablock)
+        if ap is None:
+            av_ = np.zeros((a.nt + max_ablock, tm, tk), dtype=dtype)
+            av_[: a.nt] = a.dense(dtype)
+            ao_ = np.zeros((a.nt + max_ablock, tm, tk), dtype=occ_dtype)
+            ao_[: a.nt] = a.occ().astype(occ_dtype)
+            ap = (av_, ao_)
+        packed = (ap[0], ap[1]) + tuple(b_packed)
+    if packed is None and reuse is not None and reuse.dtype == dtype \
+            and reuse.max_b == max_b:
         if reuse.max_ablock == max_ablock:
             a_val, a_occ = reuse.a_val, reuse.a_occ
         else:
@@ -528,7 +556,8 @@ def build_strip_args(
 
     # --- per-run symbolic: C tile dictionary + per-pair slots ---
     t_sym = time.perf_counter()
-    sym = run_strip_symbolic(a, b, block_rows, max_b, max_ablock)
+    sym = run_strip_symbolic(a, b, block_rows, max_b, max_ablock,
+                             max_cblock_min=mg.get("max_cblock", 1))
     c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c = sym
     num_pairs = int(cnt_b[a.tcol].sum()) if a.nt else 0
     symbolic_ms = (time.perf_counter() - t_sym) * 1e3
@@ -557,7 +586,7 @@ def build_strip_args(
         smem_ok = (2 * strip_meta_rows(max_ablock, max_b) * 128 * 4
                    + (a.gm + 1 + nb_blocks) * 4) <= 700 * 1024
         if win_total_vmem <= 95 * 1024 * 1024 and traffic_ok and smem_ok:
-            kwin = span
+            kwin = max(span, mg.get("kwin", 1))
             gk_pad = max(gk, kwin)
             kmin_arr = np.clip(blk_min, 0, gk_pad - kwin).astype(INDEX_DTYPE)
             if b_val.shape[0] < gk_pad:

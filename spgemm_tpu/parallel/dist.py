@@ -369,98 +369,151 @@ def spgemm_sharded(
 
 @dataclasses.dataclass
 class StripDistPlan:
+    """Per-device strip plans with unified kernel geometry. Unlike round
+    1's design (one global plan sliced per device), the SYMBOLIC phase is
+    sharded: each device's plan is built from its own tile-row slab of A
+    (TileMat.slice_tile_rows + build_strip_args), so on a multi-host
+    deployment every host computes only its shard's C dictionary. B slabs
+    are packed once and shared (build_strip_args(b_packed=...)); a second
+    build pass forces the max geometry (min_geometry) onto shards that
+    came out smaller, because shard_map needs identical static shapes.
+    Both B-delivery variants shard — including the windowed kernel that
+    round 1 excluded (`window=False` restriction lifted)."""
+
     ndev: int
-    blocks_max: int      # grid blocks per device (padded)
-    gm_max: int          # tile-rows per device (padded)
-    blk_lo: np.ndarray   # (D,) first block owned by each device
-    # per-device stacked operands (mesh axis 0)
+    row_lo: np.ndarray       # (D+1,) first tile-row per device
+    kwin: int | None
+    gk_total: int
+    kernel_kwargs: dict
+    # stacked per-device operands (mesh axis 0)
     a_val: np.ndarray
     a_occ: np.ndarray
-    b_val: np.ndarray    # sharded over k; all-gathered on device
+    b_val: np.ndarray        # sharded over k; all-gathered on device
     b_occ: np.ndarray
     aptr: np.ndarray
-    ak: np.ndarray
-    slots: np.ndarray
-    args: "object"       # the global StripArgs (symbolic results)
+    x1: np.ndarray           # cached: ak      | windowed: kmin
+    x2: np.ndarray           # cached: slots   | windowed: meta
+    gidx: np.ndarray         # (D, ntc_max) block-padded positions, pad 0
+    ntc: np.ndarray          # (D,) real candidates per device
+    ctrow: np.ndarray        # global candidate coords (concatenated)
+    ctcol: np.ndarray
+    num_pairs: int
+    rep_args: "object"       # one device's StripArgs (feasibility checks)
 
 
 def plan_strip_partition(
     a: TileMat, b: TileMat, ndev: int, *, block_rows: int = 32,
-    dtype=np.float32,
+    dtype=np.float32, window: bool | None = None,
 ) -> StripDistPlan:
-    """Build ONE global strip plan, then slice it per device along block
-    boundaries (pair-count balanced). B slabs are sharded over k and
-    all-gathered over ICI at run time."""
+    """Shard A by tile-row slabs (block-aligned, pair-count balanced),
+    build one strip plan per shard, unify geometry."""
     from spgemm_tpu.ops.gustavson import build_strip_args
 
-    # cached-B kernel variant: per-device slices share one global B layout
-    args = build_strip_args(a, b, block_rows=block_rows, dtype=dtype,
-                            window=False)
-    n_blocks = max(1, cdiv(args.gm, block_rows))
-
-    # pairs per block -> contiguous block ranges with ~equal pairs
+    # pair-balanced tile-row boundaries — no block alignment needed:
+    # every shard re-blocks its own row range from local row 0
     bptr = b.tptr.astype(np.int64)
     pair_per_tile = bptr[a.tcol.astype(np.int64) + 1] - bptr[a.tcol]
-    pairs_per_row = np.zeros(args.gm, dtype=np.int64)
+    pairs_per_row = np.zeros(a.gm, dtype=np.int64)
     np.add.at(pairs_per_row, a.trow, pair_per_tile)
-    pairs_per_block = np.add.reduceat(
-        pairs_per_row, np.arange(0, args.gm, block_rows)
-    ) if args.gm else np.zeros(1, np.int64)
-    cum = np.cumsum(pairs_per_block)
+    cum = np.cumsum(pairs_per_row) if a.gm else np.zeros(1, np.int64)
     total = int(cum[-1]) if cum.size else 0
     bounds = np.searchsorted(cum, np.arange(1, ndev) * (total / ndev))
-    blk_lo = np.concatenate([[0], bounds + 1]) if ndev > 1 else np.array([0])
-    blk_hi = np.concatenate([bounds + 1, [n_blocks]]) if ndev > 1 \
-        else np.array([n_blocks])
-    blk_lo = np.minimum(blk_lo, n_blocks)
-    blk_hi = np.minimum(np.maximum(blk_hi, blk_lo), n_blocks)
+    row_lo = np.concatenate([[0], np.minimum(bounds + 1, a.gm), [a.gm]])
+    row_lo = np.maximum.accumulate(row_lo)
 
-    blocks_max = max(1, int((blk_hi - blk_lo).max()))
-    gm_max = blocks_max * block_rows
-    aptr64 = args.aptr.astype(np.int64)
-    row_lo = np.minimum(blk_lo * block_rows, args.gm)
-    row_hi = np.minimum(blk_hi * block_rows, args.gm)
-    a_lo, a_hi = aptr64[row_lo], aptr64[row_hi]
-    nt_max = max(1, int((a_hi - a_lo).max()))
-    nt_pad = nt_max + args.max_ablock
+    # pass 1: per-shard plans (B packed once, shared)
+    shards = [a.slice_tile_rows(int(row_lo[d]), int(row_lo[d + 1]))
+              for d in range(ndev)]
+    plans = []
+    b_packed = None
+    for sh in shards:
+        p = build_strip_args(sh, b, block_rows=block_rows, dtype=dtype,
+                             window=window, b_packed=b_packed)
+        if b_packed is None:
+            b_packed = (p.b_val, p.b_occ)
+        plans.append(p)
 
-    tm, tk = args.tm, args.tk
-    a_val = np.zeros((ndev, nt_pad, tm, tk), dtype=args.a_val.dtype)
-    a_occ = np.zeros((ndev, nt_pad, tm, tk), dtype=args.a_occ.dtype)
+    # unify geometry: maxima + a consensus window mode (windowed only if
+    # every shard chose it; mixed shards rebuild cached)
+    windowed = all(p.kwin is not None for p in plans)
+    mg = dict(
+        max_ablock=max(p.max_ablock for p in plans),
+        max_cblock=max(p.max_cblock for p in plans),
+    )
+    if windowed:
+        mg["kwin"] = max(p.kwin for p in plans)
+    for d, p in enumerate(plans):
+        same = (p.max_ablock == mg["max_ablock"]
+                and p.max_cblock == mg["max_cblock"]
+                and ((not windowed and p.kwin is None)
+                     or (windowed and p.kwin == mg.get("kwin"))))
+        if not same:
+            plans[d] = build_strip_args(
+                shards[d], b, block_rows=block_rows, dtype=dtype,
+                window=windowed, b_packed=b_packed,
+                min_geometry=mg)
+
+    # stacked arrays padded to common shapes
+    gm_max = max(1, max(cdiv(p.gm, block_rows) for p in plans)) * block_rows
+    nt_pad = max(p.a_val.shape[0] for p in plans)
+    tm, tk, tn = plans[0].tm, plans[0].tk, plans[0].tn
+    max_b = plans[0].max_b
+    a_val = np.zeros((ndev, nt_pad, tm, tk), dtype=plans[0].a_val.dtype)
+    a_occ = np.zeros((ndev, nt_pad, tm, tk), dtype=plans[0].a_occ.dtype)
     aptr = np.zeros((ndev, gm_max + 1), dtype=np.int32)
-    ak = np.zeros((ndev, nt_pad), dtype=np.int32)
-    slots = np.full((ndev, nt_pad * args.max_b), args.max_cblock,
-                    dtype=np.int32)
-    for d in range(ndev):
-        n = int(a_hi[d] - a_lo[d])
-        a_val[d, :n] = args.a_val[a_lo[d] : a_hi[d]]
-        a_occ[d, :n] = args.a_occ[a_lo[d] : a_hi[d]]
-        ak[d, :n] = args.ak[a_lo[d] : a_hi[d]]
-        nrows = int(row_hi[d] - row_lo[d])
-        aptr[d, : nrows + 1] = (aptr64[row_lo[d] : row_hi[d] + 1]
-                                - a_lo[d]).astype(np.int32)
-        aptr[d, nrows + 1 :] = aptr[d, nrows]
-        mb = args.max_b
-        slots[d, : n * mb] = args.slots[a_lo[d] * mb : a_hi[d] * mb]
+    ntc = np.array([p.nt_c for p in plans], dtype=np.int64)
+    ntc_max = max(1, int(ntc.max()))
+    gidx = np.zeros((ndev, ntc_max), dtype=np.int32)
+    if windowed:
+        mr = max(p.meta.shape[0] for p in plans)
+        bmax = max(1, cdiv(gm_max, block_rows))
+        x1 = np.zeros((ndev, bmax), dtype=np.int32)
+        x2 = np.zeros((ndev, mr, 128), dtype=np.int32)
+    else:
+        x1 = np.zeros((ndev, nt_pad), dtype=np.int32)
+        x2 = np.full((ndev, nt_pad * max_b), mg["max_cblock"],
+                     dtype=np.int32)
+    for d, p in enumerate(plans):
+        nv = p.a_val.shape[0]
+        a_val[d, :nv] = p.a_val
+        a_occ[d, :nv] = p.a_occ
+        npt = p.aptr.size
+        aptr[d, :npt] = p.aptr
+        aptr[d, npt:] = p.aptr[-1]
+        gidx[d, : p.nt_c] = p.gather_idx.astype(np.int32)
+        if windowed:
+            x1[d, : p.kmin.size] = p.kmin
+            x2[d, : p.meta.shape[0]] = p.meta
+        else:
+            x1[d, : p.ak.size] = p.ak
+            x2[d, : p.slots.size] = p.slots
 
-    # B slabs sharded over k (padded to a D multiple)
-    gk = args.b_val.shape[0]
-    gk_shard = cdiv(gk, ndev)
-    bsh = args.b_val.shape[1:]
-    b_val = np.zeros((ndev, gk_shard) + bsh, dtype=args.b_val.dtype)
-    b_occ = np.zeros((ndev, gk_shard) + bsh, dtype=args.b_occ.dtype)
-    flat_v = np.zeros((gk_shard * ndev,) + bsh, dtype=args.b_val.dtype)
-    flat_o = np.zeros((gk_shard * ndev,) + bsh, dtype=args.b_occ.dtype)
-    flat_v[:gk] = args.b_val
-    flat_o[:gk] = args.b_occ
-    for d in range(ndev):
-        b_val[d] = flat_v[d * gk_shard : (d + 1) * gk_shard]
-        b_occ[d] = flat_o[d * gk_shard : (d + 1) * gk_shard]
+    # B shards over k (padded to a D multiple of the largest packed B)
+    gk_total = max(p.b_val.shape[0] for p in plans)
+    gk_shard = cdiv(gk_total, ndev)
+    bsh = b_packed[0].shape[1:]
+    flat_v = np.zeros((gk_shard * ndev,) + bsh, dtype=b_packed[0].dtype)
+    flat_o = np.zeros((gk_shard * ndev,) + bsh, dtype=b_packed[1].dtype)
+    flat_v[: b_packed[0].shape[0]] = b_packed[0]
+    flat_o[: b_packed[1].shape[0]] = b_packed[1]
+    b_val = flat_v.reshape((ndev, gk_shard) + bsh)
+    b_occ = flat_o.reshape((ndev, gk_shard) + bsh)
 
+    kw = plans[0].kernel_kwargs()
+    kw.update(gm=gm_max, max_ablock=mg["max_ablock"],
+              max_cblock=mg["max_cblock"],
+              kwin=mg.get("kwin") if windowed else None)
+    ctrow = np.concatenate(
+        [p.ctrow.astype(np.int64) + int(row_lo[d])
+         for d, p in enumerate(plans)]) if ndev else np.zeros(0, np.int64)
+    ctcol = np.concatenate([p.ctcol for p in plans])
     return StripDistPlan(
-        ndev=ndev, blocks_max=blocks_max, gm_max=gm_max, blk_lo=blk_lo,
-        a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ,
-        aptr=aptr, ak=ak, slots=slots, args=args,
+        ndev=ndev, row_lo=row_lo, kwin=mg.get("kwin") if windowed else None,
+        gk_total=gk_total, kernel_kwargs=kw,
+        a_val=a_val, a_occ=a_occ, b_val=b_val, b_occ=b_occ, aptr=aptr,
+        x1=x1, x2=x2, gidx=gidx, ntc=ntc,
+        ctrow=ctrow.astype(np.int64), ctcol=ctcol.astype(np.int64),
+        num_pairs=sum(p.num_pairs for p in plans), rep_args=plans[0],
     )
 
 
@@ -472,72 +525,83 @@ def spgemm_sharded_strip(
     block_rows: int = 32,
     acc_dtype=jnp.float32,
     interpret: bool | None = None,
+    window: bool | None = None,
 ) -> TileMat:
     """Distributed C = A @ B running the production Pallas strip kernel
-    per shard: A blocks partitioned per device, B slabs all-gathered over
-    ICI inside the shard_map body, C owner-computed in the block-padded
-    layout (SURVEY.md §2.7's north-star decomposition)."""
+    per shard: A tile-row slabs partitioned per device (symbolic phase
+    sharded with them), B slabs all-gathered over ICI inside the
+    shard_map body, C owner-computed and compacted ON DEVICE (candidate
+    gather + occupancy bit-pack) before the host sees it (SURVEY.md 2.7's
+    north-star decomposition). Windowed and cached B delivery both work."""
+    from spgemm_tpu.ops.gustavson import check_strip_feasible
     from spgemm_tpu.ops.pallas_kernels import gustavson_strip_pallas
     from spgemm_tpu.ops.spgemm import _compact_to_tilemat
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     ndev = mesh.devices.size
-    plan = plan_strip_partition(a, b, ndev, block_rows=block_rows)
-    args = plan.args
-    from spgemm_tpu.ops.gustavson import check_strip_feasible
+    plan = plan_strip_partition(a, b, ndev, block_rows=block_rows,
+                                window=window)
+    slot_entries = None if plan.kwin is not None else int(plan.x2.shape[1])
+    check_strip_feasible(plan.rep_args, interpret,
+                         slot_entries=slot_entries)
+    gk = plan.gk_total
+    tm, tn = a.tm, b.tn
+    pack_bits = tn % 32 == 0
+    kernel_kwargs = dict(plan.kernel_kwargs,
+                         acc_dtype=acc_dtype, interpret=interpret)
 
-    check_strip_feasible(args, interpret,
-                         slot_entries=int(plan.slots.shape[1]))
-    gk = args.b_val.shape[0]
-
-    kernel_kwargs = dict(
-        gm=plan.gm_max, max_b=args.max_b, max_ablock=args.max_ablock,
-        max_cblock=args.max_cblock, block_rows=block_rows,
-        acc_dtype=acc_dtype, interpret=interpret,
-    )
-
-    def device_fn(av, ao, bv, bo, aptr, ak, slots):
+    def device_fn(av, ao, bv, bo, aptr, x1, x2, gidx):
         bv_g = jax.lax.all_gather(bv[0], "x", axis=0, tiled=True)[:gk]
         bo_g = jax.lax.all_gather(bo[0], "x", axis=0, tiled=True)[:gk]
         cv, cc = gustavson_strip_pallas(
-            av[0], ao[0], bv_g, bo_g, aptr[0], ak[0], slots[0],
+            av[0], ao[0], bv_g, bo_g, aptr[0], x1[0], x2[0],
             **kernel_kwargs,
         )
-        return cv[None], cc[None]
+        # per-shard device compaction: candidate gather + packed occ
+        v = jnp.take(cv, gidx[0], axis=0)
+        cnt = jnp.take(cc, gidx[0], axis=0)
+        if pack_bits:
+            occ = (cnt > 0).reshape(-1, tm, tn // 32, 32).astype(jnp.int32)
+            shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 32), 3)
+            oc = jnp.sum(occ << shifts, axis=3, dtype=jnp.int32)
+        else:
+            oc = (cnt > 0).astype(jnp.float32)
+        return v[None], oc[None]
 
     fn = jax.jit(
         jax.shard_map(
             device_fn,
             mesh=mesh,
-            in_specs=(P("x"),) * 7,
+            in_specs=(P("x"),) * 8,
             out_specs=(P("x"), P("x")),
             check_vma=False,
         )
     )
-    c_val_d, c_cnt_d = fn(
+    v_d, occ_d = fn(
         jnp.asarray(plan.a_val), jnp.asarray(plan.a_occ),
         jnp.asarray(plan.b_val), jnp.asarray(plan.b_occ),
-        jnp.asarray(plan.aptr), jnp.asarray(plan.ak),
-        jnp.asarray(plan.slots),
+        jnp.asarray(plan.aptr), jnp.asarray(plan.x1),
+        jnp.asarray(plan.x2), jnp.asarray(plan.gidx),
     )
-    # reassemble: candidate q lives on device d(q) at its block-padded
-    # position rebased to that device's first block
-    c_val = np.asarray(c_val_d)
-    c_cnt = np.asarray(c_cnt_d, dtype=np.float32)
-    if args.nt_c:
-        cblk = args.ctrow.astype(np.int64) // block_rows
-        dev_of = np.searchsorted(plan.blk_lo, cblk, side="right") - 1
-        pos = args.gather_idx - plan.blk_lo[dev_of] * args.max_cblock
-        keep_val = c_val[dev_of, pos]
-        keep_cnt = c_cnt[dev_of, pos]
+    v = np.asarray(v_d)
+    if pack_bits:
+        from spgemm_tpu.ops.gustavson import unpack_occ_words
+
+        occ = np.concatenate(
+            [unpack_occ_words(np.asarray(occ_d[d]), tn)[: plan.ntc[d]]
+             for d in range(ndev)]) if plan.ctrow.size else             np.zeros((0, tm, tn), bool)
     else:
-        keep_val = np.zeros((0, args.tm, args.tn))
-        keep_cnt = np.zeros((0, args.tm, args.tn), np.float32)
+        occ = np.concatenate(
+            [np.asarray(occ_d[d])[: plan.ntc[d]]
+             for d in range(ndev)]) if plan.ctrow.size else             np.zeros((0, tm, tn), np.float32)
+    keep_val = np.concatenate(
+        [v[d, : plan.ntc[d]] for d in range(ndev)]) if plan.ctrow.size         else np.zeros((0, tm, tn))
 
     return _compact_to_tilemat(
-        args.ctrow, args.ctcol, keep_val.astype(np.float64), keep_cnt,
-        (a.m, b.n), args.tm, args.tn,
+        plan.ctrow.astype(np.int32), plan.ctcol.astype(np.int32),
+        keep_val.astype(np.float64), occ.astype(np.float32),
+        (a.m, b.n), tm, tn,
     )
 
 

@@ -161,7 +161,7 @@ I64 = ctypes.POINTER(ctypes.c_int64)
 
 
 def gustavson_symbolic_native(a, b, block_rows: int, max_b: int,
-                              nt_a_pad: int):
+                              nt_a_pad: int, max_cblock_min: int = 1):
     """Native symbolic phase for the strip SpGEMM kernel. Returns
     (c_tptr, ctrow, ctcol, slots, gather_idx, max_cblock, nt_c) or None
     if the library is unavailable.
@@ -194,7 +194,8 @@ def gustavson_symbolic_native(a, b, block_rows: int, max_b: int,
         np.append(np.arange(0, gm, block_rows), gm), gm
     ).astype(np.int64)
     per_c = np.diff(c_tptr.astype(np.int64)[starts])
-    max_cblock = max(1, int(per_c.max()) if per_c.size else 1)
+    max_cblock = max(max_cblock_min,
+                     int(per_c.max()) if per_c.size else 1)
 
     ctrow = np.zeros(nt_c, dtype=np.int32)
     ctcol = np.zeros(nt_c, dtype=np.int32)
@@ -335,6 +336,28 @@ U16 = ctypes.POINTER(ctypes.c_uint16)
 F32 = ctypes.POINTER(ctypes.c_float)
 
 
+def pack_a_tiles_native(a, max_ablock: int):
+    """Native packing of A's dense tile blocks (f32 + bf16 occupancy).
+    Returns (a_val, a_occ) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_tiles_dense"):
+        return None
+    import jax.numpy as _jnp
+
+    tm, tk = a.tm, a.tn
+    tnnz_a = np.ascontiguousarray(a.tnnz_ptr, dtype=np.int32)
+    rc_a = np.ascontiguousarray(a.rc, dtype=np.int32)
+    val_a = np.ascontiguousarray(a.val, dtype=np.float64)
+    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=np.float32)
+    a_occ16 = np.zeros((a.nt + max_ablock, tm, tk), dtype=np.uint16)
+    lib.pack_tiles_dense(
+        _ptr(tnnz_a, I32), _ptr(rc_a, I32), _ptr(val_a, F64),
+        ctypes.c_int64(a.nt), ctypes.c_int64(tm * tk),
+        _ptr(a_val, F32), _ptr(a_occ16, U16),
+    )
+    return a_val, a_occ16.view(_jnp.bfloat16)
+
+
 def pack_strip_operands_native(a, b, max_ablock: int, max_b: int):
     """Native packing of the strip kernel's device operands: A dense
     blocks (f32 + bf16 occupancy) and stacked B slabs. Returns
@@ -349,17 +372,10 @@ def pack_strip_operands_native(a, b, max_ablock: int, max_b: int):
     import jax.numpy as _jnp
 
     tm, tk, tn = a.tm, a.tn, b.tn
-    tnnz_a = np.ascontiguousarray(a.tnnz_ptr, dtype=np.int32)
-    rc_a = np.ascontiguousarray(a.rc, dtype=np.int32)
-    val_a = np.ascontiguousarray(a.val, dtype=np.float64)
-
-    a_val = np.zeros((a.nt + max_ablock, tm, tk), dtype=np.float32)
-    a_occ16 = np.zeros((a.nt + max_ablock, tm, tk), dtype=np.uint16)
-    lib.pack_tiles_dense(
-        _ptr(tnnz_a, I32), _ptr(rc_a, I32), _ptr(val_a, F64),
-        ctypes.c_int64(a.nt), ctypes.c_int64(tm * tk),
-        _ptr(a_val, F32), _ptr(a_occ16, U16),
-    )
+    packed_a = pack_a_tiles_native(a, max_ablock)
+    if packed_a is None:
+        return None
+    a_val, a_occ = packed_a
 
     tptr_b = np.ascontiguousarray(b.tptr, dtype=np.int32)
     tnnz_b = np.ascontiguousarray(b.tnnz_ptr, dtype=np.int32)
@@ -376,4 +392,4 @@ def pack_strip_operands_native(a, b, max_ablock: int, max_b: int):
         _ptr(b_val, F32), _ptr(b_occ16, U16),
     )
     bf16 = _jnp.bfloat16
-    return (a_val, a_occ16.view(bf16), b_val, b_occ16.view(bf16))
+    return (a_val, a_occ, b_val, b_occ16.view(bf16))

@@ -114,18 +114,16 @@ def test_strip_partition_balances_pairs(make_random_csr):
     bt = csr_to_tiles(a, 16, 16)
     ndev = 4
     plan = plan_strip_partition(at, bt, ndev, block_rows=2)
-    args = plan.args
-    # pairs per device from block ownership
+    # pairs per device from tile-row ownership
     bptr = bt.tptr.astype(np.int64)
     ppt = bptr[at.tcol + 1] - bptr[at.tcol]
-    pairs_per_row = np.zeros(args.gm, dtype=np.int64)
+    pairs_per_row = np.zeros(at.gm, dtype=np.int64)
     np.add.at(pairs_per_row, at.trow, ppt)
-    blk_pairs = np.add.reduceat(pairs_per_row, np.arange(0, args.gm, 2))
-    bounds = np.append(plan.blk_lo, len(blk_pairs))
-    per_dev = [int(blk_pairs[bounds[d]:bounds[d + 1]].sum())
+    cum = np.concatenate([[0], np.cumsum(pairs_per_row)])
+    per_dev = [int(cum[plan.row_lo[d + 1]] - cum[plan.row_lo[d]])
                for d in range(ndev)]
     total = sum(per_dev)
-    assert total == args.num_pairs
+    assert total == plan.num_pairs
     # no device should carry more than ~2x the fair share (block
     # granularity limits precision on tiny inputs)
     assert max(per_dev) <= 2.2 * total / ndev
@@ -156,3 +154,33 @@ def test_sharded_ring_8dev(make_random_csr):
     got = tiles_to_csr(c)
     assert got.pattern_equal(ref)
     np.testing.assert_allclose(got.data, ref.data, rtol=1e-5)
+
+
+def test_sharded_strip_windowed(make_random_csr):
+    """The windowed B-delivery variant shards too (round 1 forced
+    window=False in the distributed path)."""
+    import numpy as np
+
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.ops import golden
+    from spgemm_tpu.parallel.dist import (make_mesh, plan_strip_partition,
+                                          spgemm_sharded_strip)
+
+    n, band = 256, 6
+    offs = np.arange(-band, band + 1)
+    r = np.repeat(np.arange(n), offs.size)
+    c = r + np.tile(offs, n)
+    keep = (c >= 0) & (c < n)
+    a = CSR.from_coo(r[keep], c[keep],
+                     np.random.default_rng(5).standard_normal(int(keep.sum())),
+                     (n, n))
+    at = csr_to_tiles(a, 8, 16)
+    bt = csr_to_tiles(a, 16, 16)
+    plan = plan_strip_partition(at, bt, 4, block_rows=2, window=True)
+    assert plan.kwin is not None  # the windowed variant was actually used
+    ct = spgemm_sharded_strip(at, bt, make_mesh(4), block_rows=2,
+                              window=True)
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(ct.to_csr())
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)

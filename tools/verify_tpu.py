@@ -117,7 +117,8 @@ fails += not okr
 
 # distributed paths on a single-device mesh (multi-chip logic, D=1)
 from spgemm_tpu.parallel.dist import (make_mesh, spgemm_sharded,
-                                      spgemm_sharded_ring)
+                                      spgemm_sharded_ring,
+                                      spgemm_sharded_strip)
 mesh1 = make_mesh(1)
 tsm = csr_to_tiles(ar, 16, 16)
 for fn, tag in ((spgemm_sharded, "sharded"), (spgemm_sharded_ring, "ring")):
@@ -126,6 +127,13 @@ for fn, tag in ((spgemm_sharded, "sharded"), (spgemm_sharded_ring, "ring")):
     okd = np.allclose(t2c(cs).to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
     print(f"dist {tag} (mesh=1) ok= {okd}")
     fails += not okd
+# sharded strip (per-shard symbolic + device compaction) with the
+# production 16x128 tiles on hardware
+from spgemm_tpu.models.tile import tiles_to_csr as t2c
+cs = spgemm_sharded_strip(t, csr_to_tiles(ar, 128, 128), mesh1)
+okd = np.allclose(t2c(cs).to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
+print(f"dist strip (mesh=1) ok= {okd}")
+fails += not okd
 
 print("FAILS:", fails)
 sys.exit(1 if fails else 0)
