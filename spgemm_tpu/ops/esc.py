@@ -581,6 +581,128 @@ def esc_scan_pallas(qv, meta, *, passes: int = 7,
     return out[:r]
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("passes", "block_rows", "interpret"))
+def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
+                       block_rows: int = 1024, interpret: bool = False):
+    """Double-double (f32x2) scan kernel: the f64 numeric path on
+    f32-only TPU hardware (the reference computes double throughout,
+    `src/common.h:22`). The host splits each exactly-computed f64
+    product into hi = f32(p), lo = f32(p - hi); the suffix scan carries
+    a compensated (sum, err) pair combined with a branch-free 2Sum —
+    exact IEEE f32 arithmetic in Mosaic, ~2^-48 relative accuracy after
+    the host adds f64(sum) + f64(err). Returns (s, e) planes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r, wn = qh.shape
+    blk = min(block_rows, max(8, r))
+    r_pad = -(-max(r, 1) // blk) * blk
+    if r_pad != r:
+        pad = ((0, r_pad - r), (0, 0))
+        qh, ql, meta = jnp.pad(qh, pad), jnp.pad(ql, pad), \
+            jnp.pad(meta, pad)
+
+    def kernel(qh_ref, ql_ref, m_ref, s_ref, e_ref):
+        s = qh_ref[:]
+        e = ql_ref[:]
+        mt = m_ref[:]
+        sl = mt & 127
+        idx = (mt >> 7) & 127
+        val = (mt >> 14).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, wn), 1)
+        zero = jnp.float32(0)
+        for k in range(passes):
+            d = 1 << k
+            sr = pltpu.roll(s, wn - d, axis=1)
+            er = pltpu.roll(e, wn - d, axis=1)
+            slr = pltpu.roll(sl, wn - d, axis=1)
+            ok = (slr == sl) & (lane < wn - d)
+            sr = jnp.where(ok, sr, zero)
+            er = jnp.where(ok, er, zero)
+            # 2Sum(s, sr): exact error of the f32 add
+            t = s + sr
+            bp = t - s
+            err = (s - (t - bp)) + (sr - bp)
+            s = t
+            e = e + er + err
+        s_ref[:] = jnp.take_along_axis(s, idx, axis=1) * val
+        e_ref[:] = jnp.take_along_axis(e, idx, axis=1) * val
+
+    bs = lambda: pl.BlockSpec((blk, wn), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    s_out, e_out = pl.pallas_call(
+        kernel,
+        grid=(r_pad // blk,),
+        in_specs=[bs(), bs(), bs()],
+        out_specs=(bs(), bs()),
+        out_shape=(jax.ShapeDtypeStruct((r_pad, wn), jnp.float32),
+                   jax.ShapeDtypeStruct((r_pad, wn), jnp.float32)),
+        interpret=interpret,
+    )(qh, ql, meta)
+    return s_out[:r], e_out[:r]
+
+
+def scan_dd_planes(plan: ScanPlan, a_data=None, b_data=None):
+    """Host: exact f64 products split into (hi, lo) f32 planes for the
+    double-double kernel. Uses the plan's source indices."""
+    ok = plan.a_src >= 0
+    if a_data is None:
+        # qv was rounded to f32 at build; rebuild exactly requires the
+        # sources — callers pass a.data/b.data
+        raise ValueError("scan_dd_planes needs a_data and b_data")
+    p = np.where(ok, a_data[np.maximum(plan.a_src, 0)]
+                 * b_data[np.maximum(plan.b_src, 0)], 0.0)
+    hi = p.astype(np.float32)
+    lo = (p - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def esc_scan_dd(plan: ScanPlan, a_data: np.ndarray, b_data: np.ndarray,
+                *, interpret: bool | None = None) -> CSR:
+    """f64-accurate SpGEMM through the double-double scan kernel;
+    returns C with values accurate to ~1e-14 relative."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    hi, lo = scan_dd_planes(plan, a_data, b_data)
+    s, e = esc_scan_dd_pallas(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(plan.meta),
+        passes=plan.passes, interpret=interpret)
+    jax.block_until_ready((s, e))
+    c_val = np.zeros(plan.nnz_c, np.float64)
+    if plan.nnz_c:
+        total = (np.asarray(s, np.float64) + np.asarray(e, np.float64))
+        sums = np.add.reduceat(total, plan.win_rowptr[:-1], axis=0)
+        c_val[:] = sums.reshape(-1)[: plan.nnz_c]
+    return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+               c_val, plan.shape)
+
+
+def time_esc_scan_dd(plan: ScanPlan, a_data, b_data, *, loop: int = 20,
+                     repeats: int = 2) -> tuple[float, float]:
+    """Amortized device time of the double-double scan kernel."""
+    from spgemm_tpu.utils.timing import chained_device_ms
+
+    hi, lo = scan_dd_planes(plan, a_data, b_data)
+    qh = jax.device_put(jnp.asarray(hi))
+    ql = jax.device_put(jnp.asarray(lo))
+    meta = jax.device_put(jnp.asarray(plan.meta))
+    jax.block_until_ready((qh, ql, meta))
+
+    @jax.jit
+    def chain(qh, ql, meta):
+        def body(i, acc):
+            s, e = esc_scan_dd_pallas(qh + acc * 1e-30, ql, meta,
+                                      passes=plan.passes)
+            return acc + jnp.sum(s[-1, -8:]) + jnp.sum(e[-1, -8:])
+
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    probe = jax.device_put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, qh, ql, meta,
+                             repeats=repeats, loop=loop)
+
+
 def esc_scan_numeric(plan: ScanPlan, dev=None, *, sync: bool = True,
                      interpret: bool | None = None):
     if dev is None:

@@ -202,3 +202,41 @@ def test_scan_numpy_fallback_matches_native():
     cb = esc_scan_trim(plans["0"], esc_scan_numeric(plans["0"]))
     assert ca.pattern_equal(cb)
     assert np.allclose(ca.data, cb.data, rtol=1e-6)
+
+
+def test_scan_dd_f64_accuracy():
+    """Double-double scan kernel: f64-accurate results from f32 hardware
+    (exact on the reference's integer value model; ~1e-14 on wide
+    positive magnitudes; cancellation bounded by term magnitude)."""
+    from spgemm_tpu.ops.esc import build_esc_scan_plan, esc_scan_dd
+
+    r = np.random.default_rng(21)
+    n = 300
+    a = CSR.from_coo(r.integers(0, n, 4000), r.integers(0, n, 4000),
+                     r.integers(1, 10, 4000).astype(np.float64), (n, n))
+    plan = build_esc_scan_plan(a, a)
+    c = esc_scan_dd(plan, a.data, a.data)
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.array_equal(got.data, ref.data)  # integer sums: exact
+
+    vals = np.abs(r.standard_normal(4000)) * np.exp(
+        r.uniform(-15, 15, 4000)) + 0.1
+    aw = CSR.from_coo(r.integers(0, n, 4000), r.integers(0, n, 4000),
+                      vals, (n, n))
+    pw = build_esc_scan_plan(aw, aw)
+    cw = esc_scan_dd(pw, aw.data, aw.data)
+    refw = golden.spgemm_scipy(aw, aw)
+    gw = golden.drop_explicit_zeros(cw)
+    assert gw.pattern_equal(refw)
+    assert np.allclose(gw.data, refw.data, rtol=1e-12)
+
+    an = CSR.from_coo(r.integers(0, n, 4000), r.integers(0, n, 4000),
+                      r.standard_normal(4000), (n, n))
+    pn = build_esc_scan_plan(an, an)
+    cn = esc_scan_dd(pn, an.data, an.data)
+    refn = golden.spgemm_scipy(an, an)
+    gn = golden.drop_explicit_zeros(cn)
+    assert gn.pattern_equal(refn)
+    assert np.allclose(gn.data, refn.data, rtol=1e-10, atol=1e-11)

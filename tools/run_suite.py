@@ -74,6 +74,27 @@ def power_law(rng, n, base=4, heavy_frac=0.01, heavy=256):
                         (n, n))
 
 
+def rmat(rng, n, nnz_per_row=16, a=0.57, b=0.19, c=0.19):
+    """R-MAT/Kronecker power-law graph (Chakrabarti et al.) — the
+    standard scale-free generator for unstructured SpGEMM regression
+    (SuiteSparse is unreachable in this zero-egress environment)."""
+    levels = max(1, int(np.ceil(np.log2(n))))
+    nnz = n * nnz_per_row
+    r = np.zeros(nnz, np.int64)
+    cc = np.zeros(nnz, np.int64)
+    for _ in range(levels):
+        u = rng.random(nnz)
+        quad = (u > a).astype(np.int64) + (u > a + b) + (u > a + b + c)
+        r = r * 2 + (quad >> 1)
+        cc = cc * 2 + (quad & 1)
+    keep = (r < n) & (cc < n)
+    from spgemm_tpu.models.csr import CSR
+
+    return CSR.from_coo(r[keep], cc[keep],
+                        rng.integers(1, 10, int(keep.sum())).astype(np.float64),
+                        (n, n))
+
+
 def suite(quick: bool, n: int | None = None):
     rng = np.random.default_rng(7)
     n = n or (8192 if quick else 65536)
@@ -82,6 +103,7 @@ def suite(quick: bool, n: int | None = None):
         f"blockdiag{n}": block_diag(rng, n),
         f"random{n}": random_uniform(rng, n),
         f"powerlaw{n}": power_law(rng, n),
+        f"rmat{n}": rmat(rng, n),
     }
 
 

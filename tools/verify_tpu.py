@@ -56,6 +56,16 @@ c3e, res3e = spgemm_csr(ar, backend="esc")
 ok3e = np.allclose(c3e.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
 print(f"random 700x700 esc ok={ok3e}")
 fails += not ok3e
+# f64 double-double scan engine: exact on integer values
+from spgemm_tpu.ops.esc import build_esc_scan_plan, esc_scan_dd
+ai = CSR.from_coo(rng.integers(0, 700, 9000), rng.integers(0, 700, 9000),
+                  rng.integers(1, 10, 9000).astype(np.float64), (700, 700))
+pdd = build_esc_scan_plan(ai, ai)
+cdd = esc_scan_dd(pdd, ai.data, ai.data, interpret=False)
+okdd = np.array_equal(cdd.to_dense(), ai.to_dense() @ ai.to_dense())
+print(f"f64 double-double scan exact ok={okdd}")
+fails += not okdd
+
 hr = np.concatenate([np.zeros(2500, np.int64), rng.integers(1, 600, 4000)])
 hc = np.concatenate([rng.choice(3000, 2500, replace=False),
                      rng.integers(0, 3000, 4000)])
