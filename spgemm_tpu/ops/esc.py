@@ -758,11 +758,13 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
     values of the same pattern (plan.refresh_values).
 
     mode="scan" (f32 default) runs the sorted-run suffix-scan Pallas
-    kernel; mode="digit" runs the one-hot digit contraction (the f64
-    path — the scan kernel is f32-only)."""
+    kernel; f64 runs its double-double variant (esc_scan_dd — f64
+    accuracy from f32 hardware); mode="digit" runs the one-hot digit
+    contraction (XLA einsum, any dtype)."""
+    f64 = np.dtype(dtype) == np.float64
     if mode == "auto":
-        mode = "digit" if np.dtype(dtype) == np.float64 else "scan"
-    if plan is not None:
+        mode = "scan"
+    if plan is not None and mode != "digit":
         mode = "scan" if isinstance(plan, ScanPlan) else "digit"
     timings: dict[str, float] = {}
 
@@ -770,6 +772,13 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
         if plan is None:
             plan = build_esc_scan_plan(a, b)
         timings["symbolic_ms"] = plan.symbolic_ms
+        if f64:
+            t0 = time.perf_counter()
+            c = esc_scan_dd(plan, a.data, b.data)
+            timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+            timings["upload_ms"] = 0.0
+            timings["compact_ms"] = 0.0
+            return c, timings, plan
         t0 = time.perf_counter()
         dev = plan.device_arrays()
         jax.block_until_ready(dev["qv"])

@@ -629,7 +629,7 @@ def build_strip_args(
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
+@jax.jit
 def strip_compact_device(c_val, c_cnt, gidx):
     """Device-side result compaction (the reference keeps step outputs
     on the GPU and downloads once, `tilespgemm-cuda.h:2749-2776`; round 1

@@ -79,7 +79,9 @@ def _compact_to_tilemat(
 
 def _verify_against(sched, c_val, c_cnt, ref) -> None:
     """SPGEMM_TPU_SELFCHECK=1: compare a strip-backend result against the
-    independently-scheduled XLA pair backend; raises on mismatch."""
+    independently-scheduled XLA pair backend; raises on mismatch.
+    Compares PER-TILE arrays — O(nnz + nt*tm*tn) memory, usable at the
+    large scales where a selfcheck matters (round 1 densified to m x n)."""
     ref_sched = ref.schedule
     # both candidate lists are sorted (row, col); align by key
     key_a = sched.ctrow.astype(np.int64) * (2**32) + sched.ctcol
@@ -91,21 +93,26 @@ def _verify_against(sched, c_val, c_cnt, ref) -> None:
                      or not np.array_equal(key_a[pos], key_b)):
         raise AssertionError("selfcheck: C tile dictionaries disagree")
     ref_c = ref.c
-    got_val = np.asarray(c_val)[pos]
-    # compare via dense reconstruction of both tile sets
-    from spgemm_tpu.models.tile import TileMat  # noqa: F401
-
-    ref_dense = ref_c.to_csr().to_dense()
-    gm_tm = got_val.shape[1]
-    # reconstruct got: scatter candidate tiles
-    got_dense = np.zeros(ref_dense.shape)
-    tn = got_val.shape[2]
-    for i, (r, cc) in enumerate(zip(ref_sched.ctrow, ref_sched.ctcol)):
-        r0, c0 = r * gm_tm, cc * tn
-        blk = got_val[i][: ref_dense.shape[0] - r0, : ref_dense.shape[1] - c0]
-        got_dense[r0 : r0 + blk.shape[0], c0 : c0 + blk.shape[1]] = blk
-    if not np.allclose(got_dense, ref_dense, rtol=1e-4, atol=1e-6):
-        raise AssertionError("selfcheck: strip values diverge from XLA pair backend")
+    got_val = np.asarray(c_val)
+    nt, tm, tn = got_val.shape
+    # dense tiles of the reference result straight from TileMat arrays
+    ref_tiles = np.zeros((ref_c.nt, tm * tn))
+    ref_tiles[ref_c.tile_ids_expanded(), ref_c.rc] = ref_c.val
+    # map ref tiles -> aligned candidates (ref_c may have pruned
+    # structurally-empty candidates; align by coordinates again)
+    rkey = ref_c.trow.astype(np.int64) * (2**32) + ref_c.tcol
+    rpos = pos[np.searchsorted(key_b, rkey)]
+    if not np.allclose(got_val[rpos].reshape(ref_c.nt, -1), ref_tiles,
+                       rtol=1e-4, atol=1e-6):
+        raise AssertionError(
+            "selfcheck: strip values diverge from XLA pair backend")
+    # every candidate NOT in the reference tile set must be ~zero
+    extra = np.ones(nt, bool)
+    extra[rpos] = False
+    if np.any(np.abs(got_val[extra]) > 1e-6):
+        raise AssertionError(
+            "selfcheck: strip produced nonzeros outside the reference "
+            "tile set")
 
 
 def _resolve_backend(a: TileMat, b: TileMat, backend: str,
@@ -527,11 +534,9 @@ def _spgemm_csr_esc(a: CSR, b: CSR | None, *, aat: bool = False,
     np_dt = (np.float64
              if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
              else np.float32)
-    if np_dt == np.float64 and not jax.config.jax_enable_x64:
-        raise ValueError(
-            "float64 SpGEMM needs jax_enable_x64=True "
-            "(jax.config.update('jax_enable_x64', True))"
-        )
+    # f64 runs the double-double scan kernel: f32 device arithmetic with
+    # compensated accumulation — no jax_enable_x64 needed (unlike the
+    # emulated-f64 XLA paths)
     c, timings, plan = spgemm_esc(a, b, dtype=np_dt)
     nnz_cub = flop_count_spgemm(a, b)
     stats = {

@@ -153,6 +153,13 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
         mode, stats = _spmm_mode(a, k_pad)
     if backend == "strip" and mode == "xla":
         raise ValueError("strip SpMM infeasible (alignment/VMEM)")
+    # unstructured patterns (many near-empty tiles) blow up the dense
+    # tile paths — a 786k-tile random matrix needs >6 GB of dense tiles.
+    # The gather formulation works from the raw CSR instead.
+    if backend == "gather" or (
+        mode == "xla" and a.nt * a.tm * a.tn * 4 > 1 << 30
+    ):
+        return _finish(spmm_gather(a.to_csr(), x, dtype=dtype), vec, a, k)
     if mode in ("resident", "window"):
         y = _spmm_strip(a, x, k_pad, dtype, mode=mode, stats=stats)
     else:
@@ -167,6 +174,91 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
         ).reshape(a.gm * a.tm, k)
     y = y[: a.m, :k]
     return y[:, 0] if vec else y
+
+
+def _finish(y, vec, a, k):
+    y = np.asarray(y)[: a.m, :k]
+    return y[:, 0] if vec else y
+
+
+def _spmm_gather_groups(a, rows_per_group: int = 256, w_max: int = 4096):
+    """Row groups for the gather SpMM: <= rows_per_group rows and
+    ~<= w_max products per group; rows wider than w_max split into
+    sibling groups (summed in the epilogue)."""
+    m = a.m
+    row_nnz = np.diff(a.indptr).astype(np.int64)
+    groups = []  # (row_lo, n_rows, prod_lo, prod_hi)
+    r = 0
+    while r < m:
+        lo = int(a.indptr[r])
+        if row_nnz[r] > w_max:
+            hi = int(a.indptr[r + 1])
+            for q in range(lo, hi, w_max):
+                groups.append((r, 1, q, min(q + w_max, hi)))
+            r += 1
+            continue
+        r_end = min(r + rows_per_group, m)
+        # trim so the product budget holds
+        hi_row = int(np.searchsorted(
+            a.indptr[r : r_end + 1], lo + w_max, side="right")) - 1
+        r_end = max(r + 1, r + hi_row)
+        groups.append((r, r_end - r, lo, int(a.indptr[r_end])))
+        r = r_end
+    return groups
+
+
+@functools.partial(jax.jit, static_argnames=("rg", "k_pad"))
+def _spmm_gather_kernel(av, col, lrow, xb, *, rg, k_pad):
+    """out[g, r, :] = sum_w (lrow==r) * av * X[col]: X rows gathered
+    128-wide (the fast gather class), the per-row reduction as a one-hot
+    contraction on the MXU (the one-hot operand is exact in bf16)."""
+    g, w = av.shape
+    xg = jnp.take(xb, col.reshape(-1), axis=0).reshape(g, w, k_pad)
+    p = av[:, :, None] * xg
+    oh = (lrow[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, rg), 2)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        oh, p, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (g, rg, k_pad)
+
+
+def spmm_gather(a_csr, x, *, dtype=jnp.float32,
+                rows_per_group: int = 256, w_max: int = 4096):
+    """Y = A @ X for unstructured A, straight from CSR: no tiles, no
+    scatter — X row gathers plus a one-hot row contraction (the SpMM
+    face of the ESC engine's digit reduction, ops/esc.py)."""
+    x = np.asarray(x)
+    k = x.shape[1]
+    k_pad = max(128, -(-k // 128) * 128)
+    xb = np.zeros((a_csr.n + 1, k_pad), np.float32)
+    xb[: a_csr.n, :k] = x
+    groups = _spmm_gather_groups(a_csr, rows_per_group, w_max)
+    rows_exp = a_csr.rows_expanded()
+    # width classes (256 granular) so sparse-row regions don't pad to the
+    # densest group's product count
+    by_w: dict[int, list] = {}
+    for g in groups:
+        w = -(-max(g[3] - g[2], 1) // 256) * 256
+        by_w.setdefault(w, []).append(g)
+    y = np.zeros((a_csr.m, k_pad), np.float32)
+    for w_cap, gs in sorted(by_w.items()):
+        g_n = len(gs)
+        av = np.zeros((g_n, w_cap), np.float32)
+        col = np.full((g_n, w_cap), a_csr.n, np.int32)  # pad: zero X row
+        lrow = np.zeros((g_n, w_cap), np.int32)
+        for gi, (r0, nr, p0, p1) in enumerate(gs):
+            ln = p1 - p0
+            av[gi, :ln] = a_csr.data[p0:p1]
+            col[gi, :ln] = a_csr.indices[p0:p1]
+            lrow[gi, :ln] = rows_exp[p0:p1] - r0
+        out = np.asarray(_spmm_gather_kernel(
+            jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow),
+            jnp.asarray(xb), rg=rows_per_group, k_pad=k_pad))
+        for gi, (r0, nr, _, _) in enumerate(gs):
+            y[r0 : r0 + nr] += out[gi, :nr]
+    return y[:, :k]
 
 
 def _pack_spmm_operands(a: TileMat, x: np.ndarray, k_pad: int, dtype,

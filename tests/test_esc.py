@@ -240,3 +240,29 @@ def test_scan_dd_f64_accuracy():
     gn = golden.drop_explicit_zeros(cn)
     assert gn.pattern_equal(refn)
     assert np.allclose(gn.data, refn.data, rtol=1e-10, atol=1e-11)
+
+
+def test_digit_mode_f64():
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    a = rand_csr(128, 128, 900, seed=22)
+    c, _, plan = spgemm_esc(a, a, dtype=np.float64, mode="digit")
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-12)
+
+
+def test_f64_csr_without_x64():
+    """spgemm_csr f64 routes through the double-double scan — works
+    without jax_enable_x64 (f32 device arithmetic)."""
+    import jax.numpy as jnp
+
+    from spgemm_tpu.ops.spgemm import spgemm_csr
+
+    a = rand_csr(4096, 4096, 4096 * 4, seed=23)
+    c, res = spgemm_csr(a, backend="esc", compute_dtype=jnp.float64)
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-10, atol=1e-11)

@@ -82,3 +82,28 @@ def test_spmm_window_mode(make_random_csr, rng):
     np.testing.assert_allclose(y_win, y_res, rtol=1e-6)
     ref = a.to_dense() @ x.astype(np.float64)
     np.testing.assert_allclose(y_res[:120, :8], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_gather_unstructured(make_random_csr):
+    """Gather SpMM: the unstructured path (dense tile paths blow HBM on
+    ~1M near-empty tiles; this one works from raw CSR)."""
+    import numpy as np
+
+    from spgemm_tpu.ops.spmm import spmm_gather
+
+    rng = np.random.default_rng(9)
+    m, n, k = 700, 600, 96
+    a = make_random_csr(m, n, 0.01)
+    x = rng.standard_normal((n, k)).astype(np.float32)
+    y = spmm_gather(a, x)
+    ref = a.to_dense() @ x.astype(np.float64)
+    assert np.allclose(y, ref, rtol=1e-4, atol=1e-5)
+    # skewed row wider than the product budget (sibling groups)
+    r = np.concatenate([np.zeros(5000, np.int64),
+                        rng.integers(1, m, 500)])
+    c = np.concatenate([rng.integers(0, n, 5000),
+                        rng.integers(0, n, 500)])
+    aw = type(a).from_coo(r, c, rng.standard_normal(r.size), (m, n))
+    yw = spmm_gather(aw, x)
+    refw = aw.to_dense() @ x.astype(np.float64)
+    assert np.allclose(yw, refw, rtol=1e-4, atol=1e-4)

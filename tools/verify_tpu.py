@@ -92,10 +92,16 @@ except ValueError as e:
     print("b+aat rejected:", e)
 try:
     import jax.numpy as jnp
-    spgemm_csr(ar, compute_dtype=jnp.float64)
-    print("ERROR: fp64 without x64 accepted"); fails += 1
+    spgemm_csr(ar, compute_dtype=jnp.float64, backend="strip")
+    print("ERROR: fp64 without x64 accepted on a tiled backend")
+    fails += 1
 except ValueError as e:
-    print("fp64 w/o x64 rejected:", e)
+    print("fp64 w/o x64 rejected (tiled backends):", e)
+# the ESC double-double path needs no x64 (f32 device arithmetic)
+cdd0, rdd0 = spgemm_csr(ar, compute_dtype=jnp.float64, backend="esc")
+okdd0 = np.allclose(cdd0.to_dense(), ard @ ard, rtol=1e-12, atol=1e-12)
+print(f"fp64 via esc double-double (no x64) ok={okdd0}")
+fails += not okdd0
 
 # SpMM strip kernel on hardware
 from spgemm_tpu.models.tile import csr_to_tiles
