@@ -523,9 +523,11 @@ void esc_scan_fill(
     int64_t m, int64_t n, const int32_t* c_indptr,
     const int32_t* c_indices, const int32_t* c_dup,
     const int64_t* win_rowptr, int64_t n_win,
-    float* qv,                 // (R*128) f32 host-premultiplied products
-    int32_t* meta,             // (R*128) slot | idx<<7 | valid<<14
-    int32_t* asrc, int32_t* bsrc, int64_t* max_run_out) {
+    int32_t* qm,               // (R*128*2) interleaved [f32 product, meta]
+                               // meta = slot | idx<<7 | valid<<14 — one
+                               // cache line per product in the hot loop
+    int32_t* asrc, int32_t* bsrc,  // optional (want_src)
+    int64_t want_src, int64_t* max_run_out) {
   const int64_t nnz_c = c_indptr[m];
   // per-dest start offset in the padded product stream
   std::vector<int64_t> dest_off(nnz_c + 1, 0);
@@ -546,11 +548,12 @@ void esc_scan_fill(
     const int32_t lane_s = (int32_t)(d & 127);
     const int64_t r0 = off >> 7;
     const int64_t r1 = (off + dup - 1) >> 7;
-    meta[r0 * 128 + lane_s] |= ((int32_t)(off & 127) << 7) | (1 << 14);
+    qm[(r0 * 128 + lane_s) * 2 + 1] |=
+        ((int32_t)(off & 127) << 7) | (1 << 14);
     int64_t run0 = std::min<int64_t>(dup, 128 - (off & 127));
     if (run0 > max_run) max_run = run0;
     for (int64_t r = r0 + 1; r <= r1; ++r) {
-      meta[r * 128 + lane_s] |= (1 << 14);  // idx bits stay 0 (lane 0)
+      qm[(r * 128 + lane_s) * 2 + 1] |= (1 << 14);  // idx bits: lane 0
       const int64_t rem = off + dup - r * 128;
       const int64_t runr = std::min<int64_t>(rem, 128);
       if (runr > max_run) max_run = runr;
@@ -570,10 +573,13 @@ void esc_scan_fill(
       for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
         const int64_t d = base + pos[b_indices[q]];
         const int64_t o = dest_off[d] + cursor[d]++;
-        qv[o] = (float)(aval * b_data[q]);
-        meta[o] |= (int32_t)(d & 127);
-        asrc[o] = p;
-        bsrc[o] = q;
+        const float pv = (float)(aval * b_data[q]);
+        memcpy(qm + o * 2, &pv, sizeof(float));
+        qm[o * 2 + 1] |= (int32_t)(d & 127);
+        if (want_src) {
+          asrc[o] = p;
+          bsrc[o] = q;
+        }
       }
     }
   }

@@ -433,8 +433,8 @@ class ScanPlan:
     qv: np.ndarray               # (R, 128) f32
     meta: np.ndarray             # (R, 128) int32 packed
     win_rowptr: np.ndarray       # (n_win + 1,) int64
-    a_src: np.ndarray            # (R, 128) int32, -1 padding
-    b_src: np.ndarray
+    a_src: np.ndarray | None     # (R, 128) int32, -1 padding
+    b_src: np.ndarray | None     # (None when keep_sources=False)
     passes: int                  # ceil(log2(max in-row run length))
     symbolic_ms: float = 0.0
 
@@ -445,22 +445,28 @@ class ScanPlan:
         )
 
     def refresh_values(self, a_data: np.ndarray, b_data: np.ndarray):
+        if self.a_src is None:
+            raise ValueError(
+                "plan built with keep_sources=False cannot refresh")
         ok = self.a_src >= 0
         self.qv = (np.where(ok, a_data[np.maximum(self.a_src, 0)], 0.0)
                    * np.where(ok, b_data[np.maximum(self.b_src, 0)], 0.0)
                    ).astype(np.float32)
 
 
-def build_esc_scan_plan(a: CSR, b: CSR) -> ScanPlan:
+def build_esc_scan_plan(a: CSR, b: CSR, *,
+                        keep_sources: bool = True) -> ScanPlan:
     """Host symbolic for scan mode. Native C++ fast path
     (native/csr2tile.cpp:esc_scan_fill) with a vectorized NumPy
-    fallback (argsort by destination = the counting sort)."""
+    fallback (argsort by destination = the counting sort).
+    keep_sources=False skips the a_src/b_src maps (faster fill; the
+    plan then cannot refresh_values or run the double-double path)."""
     t0 = time.perf_counter()
     if a.n != b.m:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     from spgemm_tpu.utils.native import esc_scan_symbolic_native
 
-    res = esc_scan_symbolic_native(a, b)
+    res = esc_scan_symbolic_native(a, b, keep_sources=keep_sources)
     if res is None:
         res = _esc_scan_symbolic_numpy(a, b)
     (c_indptr, c_indices, total, qv, meta,
@@ -646,6 +652,9 @@ def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
 def scan_dd_planes(plan: ScanPlan, a_data=None, b_data=None):
     """Host: exact f64 products split into (hi, lo) f32 planes for the
     double-double kernel. Uses the plan's source indices."""
+    if plan.a_src is None:
+        raise ValueError(
+            "double-double needs a plan built with keep_sources=True")
     ok = plan.a_src >= 0
     if a_data is None:
         # qv was rounded to f32 at build; rebuild exactly requires the
@@ -770,7 +779,7 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
 
     if mode == "scan":
         if plan is None:
-            plan = build_esc_scan_plan(a, b)
+            plan = build_esc_scan_plan(a, b, keep_sources=f64)
         timings["symbolic_ms"] = plan.symbolic_ms
         if f64:
             t0 = time.perf_counter()

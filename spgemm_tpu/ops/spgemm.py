@@ -255,6 +255,28 @@ def spgemm(
             a, b, compute_dtype=compute_dtype, acc_dtype=acc_dtype,
             device=device, note=note,
         )
+    if backend == "esc":
+        # the ESC engine works on raw CSR; round-trip through the tiled
+        # format (spgemm_csr routes there directly without tiling)
+        from spgemm_tpu.models.tile import csr_to_tiles
+        from spgemm_tpu.ops.esc import spgemm_esc
+
+        np_dt = (np.float64
+                 if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
+                 else np.float32)
+        c, timings, plan = spgemm_esc(a.to_csr(), b.to_csr(), dtype=np_dt)
+        c_tiles = csr_to_tiles(c, a.tm, b.tn)
+        stats = {
+            "num_pairs": float(plan.num_products),
+            "numblkC_candidate": float(c_tiles.nt),
+            "numblkC": float(c_tiles.nt),
+            "nnzC": float(c.nnz),
+            "backend": "esc",
+        }
+        return SpGEMMResult(c=c_tiles, schedule=plan,
+                            timings_ms=timings, stats=stats)
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
 
     t0 = time.perf_counter()
     sched = build_pair_schedule(a, b)

@@ -271,10 +271,12 @@ def esc_symbolic_native(a, b, s_slots: int, f_max: int, w_min: int):
             asrc, bsrc, slot, layout, av, bv)
 
 
-def esc_scan_symbolic_native(a, b):
+def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
     """Native symbolic for the scan-mode ESC kernel (ops/esc.py
     ScanPlan): dest-sorted (R, 128) row layout, run-start index map.
-    Returns the _esc_scan_symbolic_numpy tuple or None if unavailable."""
+    keep_sources=False skips the a_src/b_src maps (2 of the 4 write
+    streams in the O(flops) fill — one-shot multiplies don't need
+    them). Returns the _esc_scan_symbolic_numpy tuple or None."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "esc_scan_fill"):
         return None
@@ -312,10 +314,12 @@ def esc_scan_symbolic_native(a, b):
     np.cumsum(wrows, out=win_rowptr[1:])
     r_total = int(win_rowptr[-1])
 
-    qv = np.zeros((r_total, 128), np.float32)
-    meta = np.zeros((r_total, 128), np.int32)
-    asrc = np.full((r_total, 128), -1, np.int32)
-    bsrc = np.zeros((r_total, 128), np.int32)
+    qm = np.zeros((r_total, 128, 2), np.int32)
+    if keep_sources:
+        asrc = np.full((r_total, 128), -1, np.int32)
+        bsrc = np.zeros((r_total, 128), np.int32)
+    else:
+        asrc = bsrc = np.zeros(1, np.int32)  # dummy target
     max_run = np.zeros(1, np.int64)
     if flops:
         ad = np.ascontiguousarray(a.data, np.float64)
@@ -326,8 +330,14 @@ def esc_scan_symbolic_native(a, b):
             ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
             _ptr(c_indices, I32), _ptr(c_dup, I32),
             _ptr(win_rowptr, I64), ctypes.c_int64(n_win),
-            _ptr(qv, F32), _ptr(meta, I32),
-            _ptr(asrc, I32), _ptr(bsrc, I32), _ptr(max_run, I64))
+            _ptr(qm, I32),
+            _ptr(asrc, I32), _ptr(bsrc, I32),
+            ctypes.c_int64(1 if keep_sources else 0),
+            _ptr(max_run, I64))
+    qv = np.ascontiguousarray(qm[:, :, 0]).view(np.float32)
+    meta = np.ascontiguousarray(qm[:, :, 1])
+    if not keep_sources:
+        asrc = bsrc = None
     return (c_indptr.astype(np.int64), c_indices, flops, qv, meta,
             win_rowptr, asrc, bsrc, max(1, int(max_run[0])))
 
