@@ -18,32 +18,15 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def rmat_graph(n, deg, seed=7):
-    from spgemm_tpu.models.csr import CSR
-
-    rng = np.random.default_rng(seed)
-    levels = max(1, int(np.ceil(np.log2(n))))
-    nnz = n * deg
-    r = np.zeros(nnz, np.int64)
-    c = np.zeros(nnz, np.int64)
-    a, b, cc = 0.57, 0.19, 0.19
-    for _ in range(levels):
-        u = rng.random(nnz)
-        q = (u > a).astype(np.int64) + (u > a + b) + (u > a + b + cc)
-        r = r * 2 + (q >> 1)
-        c = c * 2 + (q & 1)
-    keep = (r < n) & (c < n)
-    return CSR.from_coo(r[keep], c[keep], np.ones(int(keep.sum())), (n, n))
-
-
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     deg = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
     from spgemm_tpu.ops.esc import spgemm_esc
     from spgemm_tpu.ops.spmm import spmm_gather
+    from spgemm_tpu.utils.generators import rmat
 
-    g = rmat_graph(n, deg)
+    g = rmat(np.random.default_rng(7), n, deg, values="ones")
     print(f"R-MAT graph: n={n} edges={g.nnz} "
           f"max out-degree={int(np.diff(g.indptr).max())}")
 

@@ -289,86 +289,6 @@ def esc_digit_reduce(av, bv, slot, *, s_slots: int = S_SLOTS,
     return out.reshape(out.shape[0], s_slots)
 
 
-GROUPS_PER_STEP = 8
-
-
-@functools.partial(
-    jax.jit, static_argnames=("s_slots", "lo_w", "interpret"))
-def esc_digit_pallas(av, bv, slot, *, s_slots: int, lo_w: int = 16,
-                     interpret: bool = False):
-    """Pallas version of esc_digit_reduce: the one-hot digit contraction
-    with every intermediate kept in VMEM. Two wins over the XLA einsum
-    (both measured, see esc_digit_reduce's docstring):
-
-    * the (W, lo_w) masked product tensor never touches HBM (XLA
-      materializes it — 2.4 GB at n=65536, the dominant cost);
-    * the f32 value stream is split into three bf16 limbs *in VMEM*
-      (q = q1 + q2 + q3 exactly; 24 mantissa bits) and contracted with
-      the exactly-representable 0/1 one-hot in three single-pass bf16
-      matmuls — f32-exact accuracy at half of HIGHEST's 6 passes.
-
-    Returns (G, hi_w, lo_w) f32; caller reshapes to (G, s_slots) —
-    row-major flattening is exactly slot order (slot = hi*lo_w + lo).
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    g, w = av.shape
-    hi_w = s_slots // lo_w
-    shift = lo_w.bit_length() - 1
-    gps = GROUPS_PER_STEP
-    g_pad = -(-g // gps) * gps
-    if g_pad != g:
-        pad = ((0, g_pad - g), (0, 0))
-        av = jnp.pad(av, pad)
-        bv = jnp.pad(bv, pad)
-        slot = jnp.pad(slot, pad)
-
-    def kernel(av_ref, bv_ref, slot_ref, out_ref):
-        for i in range(gps):
-            q = av_ref[i : i + 1, :] * bv_ref[i : i + 1, :]   # (1, W)
-            s = slot_ref[i : i + 1, :]
-            lo = s & (lo_w - 1)
-            hi = s >> shift
-            ohh = (jax.lax.broadcasted_iota(jnp.int32, (hi_w, w), 0)
-                   == hi).astype(jnp.bfloat16)                # (hi_w, W)
-            # bf16 select is unsupported in Mosaic; a 0/1 bf16 mask
-            # multiply is exact and lowers cleanly
-            m = (jax.lax.broadcasted_iota(jnp.int32, (lo_w, w), 0)
-                 == lo).astype(jnp.bfloat16)                  # (lo_w, W)
-            q1 = q.astype(jnp.bfloat16)
-            r = q - q1.astype(jnp.float32)
-            q2 = r.astype(jnp.bfloat16)
-            q3 = (r - q2.astype(jnp.float32)).astype(jnp.bfloat16)
-            acc = jnp.zeros((hi_w, lo_w), jnp.float32)
-            for qq in (q1, q2, q3):
-                u_t = m * qq                                  # (lo_w, W)
-                acc = acc + jax.lax.dot_general(
-                    ohh, u_t,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            out_ref[i] = acc
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(g_pad // gps,),
-        in_specs=[
-            pl.BlockSpec((gps, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gps, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gps, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((gps, hi_w, lo_w), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g_pad, hi_w, lo_w), jnp.float32),
-        interpret=interpret,
-    )(av, bv, slot)
-    return out[:g].reshape(g, s_slots)
-
-
 def esc_numeric(plan: EscPlan, dev_arrays=None, *, dtype=np.float32,
                 sync: bool = True,
                 precision=jax.lax.Precision.HIGHEST):
@@ -668,15 +588,17 @@ def scan_dd_planes(plan: ScanPlan, a_data=None, b_data=None):
 
 
 def esc_scan_dd(plan: ScanPlan, a_data: np.ndarray, b_data: np.ndarray,
-                *, interpret: bool | None = None) -> CSR:
+                *, interpret: bool | None = None, device=None) -> CSR:
     """f64-accurate SpGEMM through the double-double scan kernel;
     returns C with values accurate to ~1e-14 relative."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hi, lo = scan_dd_planes(plan, a_data, b_data)
+    arrs = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(plan.meta))
+    if device is not None:
+        arrs = jax.device_put(arrs, device)
     s, e = esc_scan_dd_pallas(
-        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(plan.meta),
-        passes=plan.passes, interpret=interpret)
+        *arrs, passes=plan.passes, interpret=interpret)
     jax.block_until_ready((s, e))
     c_val = np.zeros(plan.nnz_c, np.float64)
     if plan.nnz_c:
@@ -761,7 +683,7 @@ def time_esc_scan(plan: ScanPlan, *, loop: int = 20,
 
 def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
                plan: "EscPlan | ScanPlan | None" = None,
-               mode: str = "auto"):
+               mode: str = "auto", device=None):
     """End-to-end unstructured SpGEMM: C = A @ B through the ESC engine.
     Returns (CSR, timings dict, plan). The plan is reusable for new
     values of the same pattern (plan.refresh_values).
@@ -771,10 +693,14 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
     accuracy from f32 hardware); mode="digit" runs the one-hot digit
     contraction (XLA einsum, any dtype)."""
     f64 = np.dtype(dtype) == np.float64
-    if mode == "auto":
+    if plan is not None:
+        plan_mode = "scan" if isinstance(plan, ScanPlan) else "digit"
+        if mode not in ("auto", plan_mode):
+            raise ValueError(
+                f"plan is a {type(plan).__name__} but mode={mode!r}")
+        mode = plan_mode
+    elif mode == "auto":
         mode = "scan"
-    if plan is not None and mode != "digit":
-        mode = "scan" if isinstance(plan, ScanPlan) else "digit"
     timings: dict[str, float] = {}
 
     if mode == "scan":
@@ -783,13 +709,15 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
         timings["symbolic_ms"] = plan.symbolic_ms
         if f64:
             t0 = time.perf_counter()
-            c = esc_scan_dd(plan, a.data, b.data)
+            c = esc_scan_dd(plan, a.data, b.data, device=device)
             timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
             timings["upload_ms"] = 0.0
             timings["compact_ms"] = 0.0
             return c, timings, plan
         t0 = time.perf_counter()
         dev = plan.device_arrays()
+        if device is not None:
+            dev = {k: jax.device_put(v, device) for k, v in dev.items()}
         jax.block_until_ready(dev["qv"])
         timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
@@ -806,6 +734,9 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
 
     t0 = time.perf_counter()
     dev = plan.device_arrays(dtype)
+    if device is not None:
+        dev = [{k: jax.device_put(v, device) for k, v in d.items()}
+               for d in dev]
     jax.block_until_ready([d["av"] for d in dev])
     timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
 

@@ -233,7 +233,10 @@ def spgemm(
           tiles on hardware and a pair list that fits SMEM.
     """
     acc_dtype = acc_dtype or compute_dtype
-    if jnp.dtype(compute_dtype) == jnp.float64 and not jax.config.jax_enable_x64:
+    if (jnp.dtype(compute_dtype) == jnp.float64
+            and not jax.config.jax_enable_x64 and backend != "esc"):
+        # the ESC route runs f64 through the double-double scan (f32
+        # device arithmetic) and needs no x64
         raise ValueError(
             "float64 SpGEMM needs jax_enable_x64=True "
             "(jax.config.update('jax_enable_x64', True))"
@@ -264,7 +267,8 @@ def spgemm(
         np_dt = (np.float64
                  if jnp.dtype(compute_dtype) == jnp.dtype(jnp.float64)
                  else np.float32)
-        c, timings, plan = spgemm_esc(a.to_csr(), b.to_csr(), dtype=np_dt)
+        c, timings, plan = spgemm_esc(a.to_csr(), b.to_csr(), dtype=np_dt,
+                                      device=device)
         c_tiles = csr_to_tiles(c, a.tm, b.tn)
         stats = {
             "num_pairs": float(plan.num_products),
@@ -559,7 +563,7 @@ def _spgemm_csr_esc(a: CSR, b: CSR | None, *, aat: bool = False,
     # f64 runs the double-double scan kernel: f32 device arithmetic with
     # compensated accumulation — no jax_enable_x64 needed (unlike the
     # emulated-f64 XLA paths)
-    c, timings, plan = spgemm_esc(a, b, dtype=np_dt)
+    c, timings, plan = spgemm_esc(a, b, dtype=np_dt, device=device)
     nnz_cub = flop_count_spgemm(a, b)
     stats = {
         "num_pairs": float(plan.num_products),

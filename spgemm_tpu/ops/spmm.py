@@ -155,9 +155,11 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
         raise ValueError("strip SpMM infeasible (alignment/VMEM)")
     # unstructured patterns (many near-empty tiles) blow up the dense
     # tile paths — a 786k-tile random matrix needs >6 GB of dense tiles.
-    # The gather formulation works from the raw CSR instead.
+    # The gather formulation works from the raw CSR instead. An explicit
+    # backend="xla" is honored (the caller forced the tile path).
     if backend == "gather" or (
-        mode == "xla" and a.nt * a.tm * a.tn * 4 > 1 << 30
+        backend == "auto" and mode == "xla"
+        and a.nt * a.tm * a.tn * 4 > 1 << 30
     ):
         return _finish(spmm_gather(a.to_csr(), x, dtype=dtype), vec, a, k)
     if mode in ("resident", "window"):
@@ -211,15 +213,16 @@ def _spmm_gather_groups(a, rows_per_group: int = 256, w_max: int = 4096):
 def _spmm_gather_kernel(av, col, lrow, xb, *, rg, k_pad):
     """out[g, r, :] = sum_w (lrow==r) * av * X[col]: X rows gathered
     128-wide (the fast gather class), the per-row reduction as a one-hot
-    contraction on the MXU (the one-hot operand is exact in bf16)."""
+    contraction on the MXU (the one-hot operand is exact in bf16).
+    Runs in the operands' dtype (f32 or f64)."""
     g, w = av.shape
     xg = jnp.take(xb, col.reshape(-1), axis=0).reshape(g, w, k_pad)
     p = av[:, :, None] * xg
     oh = (lrow[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, rg), 2)).astype(jnp.float32)
+        jnp.int32, (1, 1, rg), 2)).astype(av.dtype)
     return jax.lax.dot_general(
         oh, p, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=av.dtype,
         precision=jax.lax.Precision.HIGHEST,
     )  # (g, rg, k_pad)
 
@@ -228,11 +231,16 @@ def spmm_gather(a_csr, x, *, dtype=jnp.float32,
                 rows_per_group: int = 256, w_max: int = 4096):
     """Y = A @ X for unstructured A, straight from CSR: no tiles, no
     scatter — X row gathers plus a one-hot row contraction (the SpMM
-    face of the ESC engine's digit reduction, ops/esc.py)."""
+    face of the ESC engine's digit reduction, ops/esc.py). Computes in
+    `dtype` (float64 needs jax_enable_x64)."""
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    if np_dt == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 gather SpMM needs jax_enable_x64=True")
     x = np.asarray(x)
     k = x.shape[1]
     k_pad = max(128, -(-k // 128) * 128)
-    xb = np.zeros((a_csr.n + 1, k_pad), np.float32)
+    xb = np.zeros((a_csr.n + 1, k_pad), np_dt)
     xb[: a_csr.n, :k] = x
     groups = _spmm_gather_groups(a_csr, rows_per_group, w_max)
     rows_exp = a_csr.rows_expanded()
@@ -242,10 +250,10 @@ def spmm_gather(a_csr, x, *, dtype=jnp.float32,
     for g in groups:
         w = -(-max(g[3] - g[2], 1) // 256) * 256
         by_w.setdefault(w, []).append(g)
-    y = np.zeros((a_csr.m, k_pad), np.float32)
+    y = np.zeros((a_csr.m, k_pad), np_dt)
     for w_cap, gs in sorted(by_w.items()):
         g_n = len(gs)
-        av = np.zeros((g_n, w_cap), np.float32)
+        av = np.zeros((g_n, w_cap), np_dt)
         col = np.full((g_n, w_cap), a_csr.n, np.int32)  # pad: zero X row
         lrow = np.zeros((g_n, w_cap), np.int32)
         for gi, (r0, nr, p0, p1) in enumerate(gs):

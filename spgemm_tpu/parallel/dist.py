@@ -442,16 +442,32 @@ def plan_strip_partition(
     )
     if windowed:
         mg["kwin"] = max(p.kwin for p in plans)
-    for d, p in enumerate(plans):
-        same = (p.max_ablock == mg["max_ablock"]
-                and p.max_cblock == mg["max_cblock"]
-                and ((not windowed and p.kwin is None)
-                     or (windowed and p.kwin == mg.get("kwin"))))
-        if not same:
+
+    def rebuild(windowed_now):
+        for d, p in enumerate(plans):
+            same = (p.max_ablock == mg["max_ablock"]
+                    and p.max_cblock == mg["max_cblock"]
+                    and ((not windowed_now and p.kwin is None)
+                         or (windowed_now and p.kwin == mg.get("kwin"))))
+            if not same:
+                plans[d] = build_strip_args(
+                    shards[d], b, block_rows=block_rows, dtype=dtype,
+                    window=windowed_now, b_packed=b_packed,
+                    min_geometry=mg)
+
+    try:
+        rebuild(windowed)
+    except ValueError:
+        # the unified geometry (another shard's max_cblock + this
+        # shard's k-span) can overflow the windowed VMEM gate even
+        # though each shard's own plan was feasible — fall back to the
+        # cached variant for every shard
+        windowed = False
+        mg.pop("kwin", None)
+        for d in range(ndev):
             plans[d] = build_strip_args(
                 shards[d], b, block_rows=block_rows, dtype=dtype,
-                window=windowed, b_packed=b_packed,
-                min_geometry=mg)
+                window=False, b_packed=b_packed, min_geometry=mg)
 
     # stacked arrays padded to common shapes
     gm_max = max(1, max(cdiv(p.gm, block_rows) for p in plans)) * block_rows
@@ -558,15 +574,15 @@ def spgemm_sharded_strip(
             av[0], ao[0], bv_g, bo_g, aptr[0], x1[0], x2[0],
             **kernel_kwargs,
         )
-        # per-shard device compaction: candidate gather + packed occ
-        v = jnp.take(cv, gidx[0], axis=0)
-        cnt = jnp.take(cc, gidx[0], axis=0)
+        # per-shard device compaction — same helper as the single-device
+        # path (gustavson.strip_compact_device)
         if pack_bits:
-            occ = (cnt > 0).reshape(-1, tm, tn // 32, 32).astype(jnp.int32)
-            shifts = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 32), 3)
-            oc = jnp.sum(occ << shifts, axis=3, dtype=jnp.int32)
+            from spgemm_tpu.ops.gustavson import strip_compact_device
+
+            v, oc = strip_compact_device(cv, cc, gidx[0])
         else:
-            oc = (cnt > 0).astype(jnp.float32)
+            v = jnp.take(cv, gidx[0], axis=0)
+            oc = (jnp.take(cc, gidx[0], axis=0) > 0).astype(jnp.float32)
         return v[None], oc[None]
 
     fn = jax.jit(

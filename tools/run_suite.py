@@ -24,78 +24,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def banded(rng, n, band, fill=0.5):
-    offs = np.arange(-band, band + 1, dtype=np.int64)
-    r = np.repeat(np.arange(n, dtype=np.int64), offs.size)
-    c = r + np.tile(offs, n)
-    keep = (c >= 0) & (c < n) & (rng.random(r.size) < fill)
-    keep |= (r == c)
-    from spgemm_tpu.models.csr import CSR
-
-    return CSR.from_coo(r[keep], c[keep],
-                        rng.integers(1, 10, keep.sum()).astype(np.float64),
-                        (n, n))
-
-
-def block_diag(rng, n, bs=64, fill=0.3):
-    nb = n // bs
-    rb = rng.integers(0, bs, size=int(nb * bs * bs * fill))
-    cb = rng.integers(0, bs, size=rb.size)
-    blk = rng.integers(0, nb, size=rb.size)
-    r = blk * bs + rb
-    c = blk * bs + cb
-    from spgemm_tpu.models.csr import CSR
-
-    return CSR.from_coo(r, c, rng.integers(1, 10, r.size).astype(np.float64),
-                        (n, n))
-
-
-def random_uniform(rng, n, nnz_per_row=16):
-    nnz = n * nnz_per_row
-    from spgemm_tpu.models.csr import CSR
-
-    return CSR.from_coo(
-        rng.integers(0, n, nnz), rng.integers(0, n, nnz),
-        rng.integers(1, 10, nnz).astype(np.float64), (n, n),
-    )
-
-
-def power_law(rng, n, base=4, heavy_frac=0.01, heavy=256):
-    rows = []
-    cols = []
-    lens = np.full(n, base)
-    heavy_rows = rng.choice(n, size=max(1, int(n * heavy_frac)), replace=False)
-    lens[heavy_rows] = heavy
-    r = np.repeat(np.arange(n), lens)
-    c = rng.integers(0, n, r.size)
-    from spgemm_tpu.models.csr import CSR
-
-    return CSR.from_coo(r, c, rng.integers(1, 10, r.size).astype(np.float64),
-                        (n, n))
-
-
-def rmat(rng, n, nnz_per_row=16, a=0.57, b=0.19, c=0.19):
-    """R-MAT/Kronecker power-law graph (Chakrabarti et al.) — the
-    standard scale-free generator for unstructured SpGEMM regression
-    (SuiteSparse is unreachable in this zero-egress environment)."""
-    levels = max(1, int(np.ceil(np.log2(n))))
-    nnz = n * nnz_per_row
-    r = np.zeros(nnz, np.int64)
-    cc = np.zeros(nnz, np.int64)
-    for _ in range(levels):
-        u = rng.random(nnz)
-        quad = (u > a).astype(np.int64) + (u > a + b) + (u > a + b + c)
-        r = r * 2 + (quad >> 1)
-        cc = cc * 2 + (quad & 1)
-    keep = (r < n) & (cc < n)
-    from spgemm_tpu.models.csr import CSR
-
-    return CSR.from_coo(r[keep], cc[keep],
-                        rng.integers(1, 10, int(keep.sum())).astype(np.float64),
-                        (n, n))
-
-
 def suite(quick: bool, n: int | None = None):
+    from spgemm_tpu.utils.generators import (banded, block_diag, power_law,
+                                             random_uniform, rmat)
+
     rng = np.random.default_rng(7)
     n = n or (8192 if quick else 65536)
     return {
@@ -161,7 +93,7 @@ def main(argv=None) -> int:
             for row in reader:
                 done.add((row["matrix"], row["config"]))
         print(f"resume: {len(done)} completed rows in {summary}")
-        if "device_ms" not in header:
+        if "device_ms" not in header or "backend" not in header:
             # pre-device-timing format: rotate so new rows get a fresh
             # header instead of silently misaligning columns; clear `done`
             # so the rotated rows are re-measured into the active file
@@ -250,10 +182,11 @@ def main(argv=None) -> int:
                 summary,
                 ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
                  "runtime_ms", "wall_ms", "gflops", "device_ms",
-                 "device_gflops", "check"],
+                 "device_gflops", "check", "backend"],
                 [name, cfg, a.m, a.nnz, c.nnz, nnz_cub,
                  round(rt, 3), round(wall_ms, 1), round(gflops, 2),
-                 dev_ms, dev_gflops, verdict],
+                 dev_ms, dev_gflops, verdict,
+                 str(res.stats.get("backend", args.backend))],
             )
             print(f"  {cfg}: nnzC={c.nnz} runtime={rt:.2f}ms "
                   f"gflops={gflops:.2f} device_ms={dev_ms} "
@@ -294,11 +227,11 @@ def main(argv=None) -> int:
             summary,
             ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
              "runtime_ms", "wall_ms", "gflops", "device_ms",
-             "device_gflops", "check"],
+             "device_gflops", "check", "backend"],
             [name, "SpMM128", a.m, a.nnz, "", 128 * a.nnz,
              round(spmm_ms, 3), round(spmm_ms, 1),
              round(2 * 128 * a.nnz / (spmm_ms * 1e6), 2),
-             spmm_dev_ms, spmm_dev_gf, ""],
+             spmm_dev_ms, spmm_dev_gf, "", "spmm"],
         )
         print(f"  SpMM128: {spmm_ms:.2f} ms", flush=True)
     print(f"summary -> {summary}")
