@@ -332,6 +332,9 @@ def esc_trim(plan: EscPlan, outs) -> CSR:
 # into sibling rows whose partial sums the trim pass adds.
 
 SCAN_WIN = 128
+SCAN_BLK = 2048   # kernel block rows; plans pre-pad R to a multiple so
+                  # the jitted path never copies through jnp.pad (the
+                  # runtime pad + out-slice cost 2.5x at n=65536)
 
 
 @dataclasses.dataclass
@@ -430,7 +433,7 @@ def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
     wrows = np.maximum(1, -(-wcnt // SCAN_WIN))
     win_rowptr = np.zeros(n_win + 1, np.int64)
     np.cumsum(wrows, out=win_rowptr[1:])
-    r_total = int(win_rowptr[-1])
+    r_total = -(-int(win_rowptr[-1]) // SCAN_BLK) * SCAN_BLK
     padbase = win_rowptr[:-1] * SCAN_WIN
     start = np.zeros(n_win + 1, np.int64)
     np.cumsum(wcnt, out=start[1:])
@@ -462,7 +465,7 @@ def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
 @functools.partial(jax.jit,
                    static_argnames=("passes", "block_rows", "interpret"))
 def esc_scan_pallas(qv, meta, *, passes: int = 7,
-                    block_rows: int = 2048, interpret: bool = False):
+                    block_rows: int = SCAN_BLK, interpret: bool = False):
     """The scan kernel: log-doubling segmented suffix-scan along lanes
     (equal adjacent slots = one run, rows sorted by host); one
     dynamic_gather (take_along_axis axis=1) pulls each run's total to
@@ -510,7 +513,7 @@ def esc_scan_pallas(qv, meta, *, passes: int = 7,
 @functools.partial(jax.jit,
                    static_argnames=("passes", "block_rows", "interpret"))
 def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
-                       block_rows: int = 1024, interpret: bool = False):
+                       block_rows: int = SCAN_BLK, interpret: bool = False):
     """Double-double (f32x2) scan kernel: the f64 numeric path on
     f32-only TPU hardware (the reference computes double throughout,
     `src/common.h:22`). The host splits each exactly-computed f64

@@ -312,7 +312,11 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
     wrows = np.maximum(1, -(-wcnt // 128))
     win_rowptr = np.zeros(n_win + 1, np.int64)
     np.cumsum(wrows, out=win_rowptr[1:])
-    r_total = int(win_rowptr[-1])
+    from spgemm_tpu.ops.esc import SCAN_BLK
+
+    # pre-pad R to the kernel block multiple (zero rows; the trim's
+    # win_rowptr never reaches them) so the jitted call never pads
+    r_total = -(-int(win_rowptr[-1]) // SCAN_BLK) * SCAN_BLK
 
     qm = np.zeros((r_total, 128, 2), np.int32)
     if keep_sources:
