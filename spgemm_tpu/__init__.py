@@ -14,8 +14,10 @@ Architecture (TPU-first, not a CUDA port):
   * ops/     — compute: symbolic tile-grid SpGEMM (pair-list construction),
                the numeric tile-pair product pipeline (batched MXU matmuls +
                segment reduction in XLA; fused Pallas kernel as the fast
-               path), golden reference algorithms (SPA / dense-row / ESC),
-               and SpMV/SpMM.
+               path), the ESC engine for unstructured patterns (sorted-run
+               scan kernel; double-double f64), golden reference
+               algorithms (SPA / dense-row / ESC), and SpMV/SpMM (incl. a
+               gather SpMM for unstructured inputs).
   * parallel/— multi-chip execution: C-tile work partitioning over a
                jax.sharding.Mesh with shard_map, B tile all-gather over ICI.
   * utils/   — timing, CSV sinks, roofline accounting.
@@ -28,7 +30,9 @@ reference component (file:line under /root/reference) it replaces.
 from spgemm_tpu.models.csr import CSR
 from spgemm_tpu.models.tile import TileMat, csr_to_tiles, tiles_to_csr
 from spgemm_tpu.ops.spgemm import spgemm, spgemm_csr, SpGEMMResult
+from spgemm_tpu.ops.esc import build_esc_scan_plan, esc_scan_dd, spgemm_esc
 from spgemm_tpu.ops.executor import StripExecutor
+from spgemm_tpu.ops.spmm import spmm, spmm_gather, spmv
 from spgemm_tpu.io.mmio import read_mtx, write_mtx
 from spgemm_tpu.io import checkpoint
 
@@ -41,6 +45,12 @@ __all__ = [
     "tiles_to_csr",
     "spgemm",
     "spgemm_csr",
+    "spgemm_esc",
+    "build_esc_scan_plan",
+    "esc_scan_dd",
+    "spmm",
+    "spmm_gather",
+    "spmv",
     "SpGEMMResult",
     "StripExecutor",
     "read_mtx",
