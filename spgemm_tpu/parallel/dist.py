@@ -621,6 +621,92 @@ def spgemm_sharded_strip(
     )
 
 
+# --- Distributed ESC (unstructured engine) ---------------------------------
+
+
+def spgemm_sharded_esc(a_csr, b_csr, mesh: Mesh, *, plan=None):
+    """Distributed unstructured SpGEMM through the ESC scan engine.
+
+    The scan layout is embarrassingly parallel: rows of the (R, 128)
+    product layout map to disjoint 128-slot windows of C's value array,
+    so sharding R over the mesh needs NO collectives at all — each
+    device reduces its own row slab (contrast with the tiled paths,
+    which all-gather B). The host splits at window boundaries so no
+    window's sibling rows straddle devices. Returns the CSR C.
+
+    This is the multi-chip face of the nsparse replacement: the
+    reference is single-GPU; here the unstructured engine scales the
+    same way the strip path does (SURVEY.md 2.7)."""
+    import numpy as np
+
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.ops.esc import (SCAN_BLK, build_esc_scan_plan,
+                                    esc_scan_pallas)
+
+    if plan is None:
+        plan = build_esc_scan_plan(a_csr, b_csr, keep_sources=False)
+    ndev = mesh.devices.size
+    r_total = plan.qv.shape[0]
+    # shard boundaries: window-aligned, padded to the kernel block and
+    # equal per device (shard_map needs uniform shapes)
+    shard_rows = -(-r_total // (ndev * SCAN_BLK)) * SCAN_BLK
+    r_pad = shard_rows * ndev
+    qv = np.zeros((r_pad, 128), np.float32)
+    meta = np.zeros((r_pad, 128), np.int32)
+    # windows must not straddle shards: place each window's rows into
+    # the shard owning its first row; win_rowptr rows are contiguous
+    wr = plan.win_rowptr
+    dev_of_win = np.minimum(wr[:-1] // shard_rows, ndev - 1)
+    # new row position: within-device repack (windows stay in order)
+    rows_per_win = np.diff(wr)
+    new_start = np.zeros(wr.size - 1, np.int64)
+    cursor = np.zeros(ndev, np.int64)
+    for w in range(wr.size - 1):
+        d = dev_of_win[w]
+        new_start[w] = d * shard_rows + cursor[d]
+        cursor[d] += rows_per_win[w]
+    if np.any(cursor > shard_rows):
+        # extremely skewed: a device overflowed its slab — fall back to
+        # the single-device path
+        from spgemm_tpu.ops.esc import esc_scan_numeric, esc_scan_trim
+
+        return esc_scan_trim(plan, esc_scan_numeric(plan))
+    for w in range(wr.size - 1):
+        n = int(rows_per_win[w])
+        qv[new_start[w] : new_start[w] + n] = plan.qv[wr[w] : wr[w] + n]
+        meta[new_start[w] : new_start[w] + n] = \
+            plan.meta[wr[w] : wr[w] + n]
+
+    interpret = jax.default_backend() == "cpu"
+
+    def device_fn(qv, meta):
+        return esc_scan_pallas(qv[0], meta[0], passes=plan.passes,
+                               interpret=interpret)[None]
+
+    fn = jax.jit(jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P("x"), P("x")), out_specs=P("x"),
+        check_vma=False,
+    ))
+    out = np.asarray(fn(
+        jnp.asarray(qv.reshape(ndev, shard_rows, 128)),
+        jnp.asarray(meta.reshape(ndev, shard_rows, 128)),
+    ), np.float64).reshape(r_pad, 128)
+
+    c_val = np.zeros(plan.nnz_c, np.float64)
+    if plan.nnz_c:
+        sums = np.add.reduceat(out, new_start, axis=0) \
+            if new_start.size else out[:0]
+        # reduceat sums [new_start[w], new_start[w+1]) — padding rows
+        # between shards are zero, so over-summing into the last window
+        # of a shard is harmless
+        c_val[:] = sums.reshape(-1)[: plan.nnz_c]
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+
+    return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+               c_val, plan.shape)
+
+
 # --- Ring (ppermute) variant: halo exchange instead of all-gather ----------
 
 

@@ -184,3 +184,43 @@ def test_sharded_strip_windowed(make_random_csr):
     got = golden.drop_explicit_zeros(ct.to_csr())
     assert got.pattern_equal(ref)
     assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_esc_matches_golden(make_random_csr, ndev):
+    """The unstructured ESC engine shards with zero collectives (row
+    slabs own disjoint C windows)."""
+    from spgemm_tpu.parallel.dist import make_mesh, spgemm_sharded_esc
+
+    a = make_random_csr(300, 300, 0.03)
+    c = spgemm_sharded_esc(a, a, make_mesh(ndev))
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_esc_rect_and_dup(make_random_csr):
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.parallel.dist import make_mesh, spgemm_sharded_esc
+
+    a = make_random_csr(100, 250, 0.05)
+    b = make_random_csr(250, 80, 0.05)
+    c = spgemm_sharded_esc(a, b, make_mesh(4))
+    ref = golden.spgemm_scipy(a, b)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+    # dup-heavy band (long runs, sibling rows) across 4 devices
+    nb, offs = 192, np.arange(-20, 21)
+    rr = np.repeat(np.arange(nb), offs.size)
+    cc = rr + np.tile(offs, nb)
+    keep = (cc >= 0) & (cc < nb)
+    ab = CSR.from_coo(rr[keep], cc[keep],
+                      np.random.default_rng(3).standard_normal(int(keep.sum())),
+                      (nb, nb))
+    c2 = spgemm_sharded_esc(ab, ab, make_mesh(4))
+    ref2 = golden.spgemm_scipy(ab, ab)
+    got2 = golden.drop_explicit_zeros(c2)
+    assert got2.pattern_equal(ref2)
+    assert np.allclose(got2.data, ref2.data, rtol=1e-3, atol=1e-5)

@@ -150,6 +150,12 @@ cs = spgemm_sharded_strip(t, csr_to_tiles(ar, 128, 128), mesh1)
 okd = np.allclose(t2c(cs).to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
 print(f"dist strip (mesh=1) ok= {okd}")
 fails += not okd
+# sharded ESC (zero-collective unstructured shard)
+from spgemm_tpu.parallel.dist import spgemm_sharded_esc
+ce = spgemm_sharded_esc(ar, ar, mesh1)
+oke = np.allclose(ce.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
+print(f"dist esc (mesh=1) ok= {oke}")
+fails += not oke
 
 print("FAILS:", fails)
 sys.exit(1 if fails else 0)
