@@ -155,8 +155,8 @@ def main():
     # the double-double scan engine on a random matrix — oracle-exact on
     # the reference's integer value model (tests/test_esc.py). Gate with
     # BENCH_F64=0; the cant-scale f64 plan takes ~50 s of host symbolic,
-    # so the checked row uses n=8192 (see benchdata/ for the full-size
-    # figure: 21.6 f64-GFLOPS at cant scale).
+    # so the checked row uses n=8192 (see benchdata/f64_results.txt
+    # for the full-size figure: 36.8 f64-GFLOPS at cant scale).
     f64_gflops = None
     if os.environ.get("BENCH_F64", "1") != "0":
         from spgemm_tpu.models.csr import CSR
@@ -170,7 +170,7 @@ def main():
             rng.integers(1, 10, nf * 16).astype(np.float64), (nf, nf))
         pf = build_esc_scan_plan(af, af)
         f64_ms, _ = time_esc_scan_dd(pf, af.data, af.data,
-                                     loop=20, repeats=2)
+                                     loop=50, repeats=3)
         f64_gflops = 2.0 * pf.num_products / (f64_ms * 1e6)
         print(f"# f64 (double-double scan, random8192): {f64_ms:.3f} ms "
               f"= {f64_gflops:.1f} f64-GFLOPS (reference computes f64 "

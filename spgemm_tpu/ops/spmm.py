@@ -368,3 +368,58 @@ def time_spmm(a: TileMat, x, *, loop: int = 20, repeats: int = 2,
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
 
     return chained_device_ms(chain, dev[2], *dev, repeats=repeats, loop=loop)
+
+
+def time_spmm_gather(a_csr, x, *, loop: int = 20,
+                     repeats: int = 2) -> tuple[float, float]:
+    """Amortized device time of the gather SpMM kernel (resident
+    operands, chained dispatches). Returns (ms, rtt_ms)."""
+    from spgemm_tpu.utils.timing import chained_device_ms
+
+    x = np.asarray(x)
+    k = x.shape[1]
+    k_pad = max(128, -(-k // 128) * 128)
+    xb = np.zeros((a_csr.n + 1, k_pad), np.float32)
+    xb[: a_csr.n, :k] = x
+    groups = _spmm_gather_groups(a_csr)
+    rows_exp = a_csr.rows_expanded()
+    by_w: dict[int, list] = {}
+    for g in groups:
+        w = -(-max(g[3] - g[2], 1) // 256) * 256
+        by_w.setdefault(w, []).append(g)
+    dev = []
+    for w_cap, gs in sorted(by_w.items()):
+        g_n = len(gs)
+        av = np.zeros((g_n, w_cap), np.float32)
+        col = np.full((g_n, w_cap), a_csr.n, np.int32)
+        lrow = np.zeros((g_n, w_cap), np.int32)
+        for gi, (r0, nr, p0, p1) in enumerate(gs):
+            ln = p1 - p0
+            av[gi, :ln] = a_csr.data[p0:p1]
+            col[gi, :ln] = a_csr.indices[p0:p1]
+            lrow[gi, :ln] = rows_exp[p0:p1] - r0
+        dev.append((jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow)))
+    xd = jnp.asarray(xb)
+    jax.block_until_ready([d[0] for d in dev] + [xd])
+
+    @jax.jit
+    def chain(xd, *flat):
+        arrs = [(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
+                for i in range(len(flat) // 3)]
+
+        def body(i, acc):
+            s = acc
+            for av, col, lrow in arrs:
+                out = _spmm_gather_kernel(av + acc * 1e-30, col, lrow,
+                                          xd, rg=256, k_pad=k_pad)
+                s = s + jnp.sum(out[-1, -1, -8:])
+            return s
+
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    flat = []
+    for d in dev:
+        flat += list(d)
+    probe = jax.device_put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, xd, *flat,
+                             repeats=repeats, loop=loop)

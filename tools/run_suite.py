@@ -221,8 +221,19 @@ def main(argv=None) -> int:
             dms, _ = time_spmm(at, x)
             spmm_dev_ms = round(dms, 3)
             spmm_dev_gf = round(2 * 128 * a.nnz / (dms * 1e6), 2) if dms else ""
-        except ValueError as e:
-            print(f"  (spmm device timing skipped: {e})", flush=True)
+        except ValueError:
+            # strip SpMM infeasible (unstructured/huge tile sets): time
+            # the gather SpMM instead
+            try:
+                from spgemm_tpu.ops.spmm import time_spmm_gather
+
+                dms, _ = time_spmm_gather(a, x.astype(np.float32))
+                spmm_dev_ms = round(dms, 3)
+                spmm_dev_gf = (round(2 * 128 * a.nnz / (dms * 1e6), 2)
+                               if dms else "")
+            except (ValueError, RuntimeError) as e:
+                print(f"  (spmm device timing skipped: {str(e)[:100]})",
+                      flush=True)
         csv_sink.append_row(
             summary,
             ["matrix", "config", "m", "nnzA", "nnzC", "nnzCub",
