@@ -17,16 +17,25 @@ only through operations the hardware is fast at:
   operand streams (a-value, b-value, slot id) padded to a power-of-two
   width class.
 
-* Device numeric (one jitted XLA computation, zero gathers/scatters):
-  q = AV * BV elementwise, split each slot id into digits
-  (hi = slot >> 5, lo = slot & 31), and contract
-  ``out[g, h, a] = sum_w (hi==h) * (lo==a) * q`` as a batched one-hot
-  matmul — the MXU performs the entire segmented scatter-add. Padding
-  products carry av = 0 and therefore contribute exactly 0 wherever
-  they land.
+* Device numeric — two formulations, both gather/scatter/sort-free:
 
-The per-group result ``out.reshape(G, S)`` is C's value array, group by
-group, in final CSR order — no device-side reordering ever happens.
+  - **scan mode (production, f32)**: the host counting-sorts each
+    128-slot window's products by destination into (R, 128) lane rows;
+    the kernel runs a log-doubling segmented suffix-scan along lanes
+    (exact f32 VPU adds) and extracts each run's sum with the hardware
+    dynamic_gather. 8 bytes of HBM traffic per product; measured ~80%
+    of v5e HBM bandwidth. A double-double variant (f32 hi/lo planes +
+    branch-free 2Sum) delivers f64-accurate results on f32 hardware.
+
+  - **digit mode (portable)**: q = AV * BV elementwise, split each slot
+    id into digits (hi = slot >> 5, lo = slot & 31), and contract
+    ``out[g, h, a] = sum_w (hi==h) * (lo==a) * q`` as a batched one-hot
+    matmul — the MXU performs the segmented scatter-add. Padding
+    products carry av = 0 and contribute exactly 0 wherever they land.
+
+Results come out in final CSR order in both modes — no device-side
+reordering ever happens; sibling groups/rows (flop splits, window
+overflow) are summed by the trim pass.
 """
 
 from __future__ import annotations
