@@ -425,8 +425,10 @@ def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
     total = a_idx.size
     n_win = max(1, -(-nnz_c // SCAN_WIN))
     if total == 0:
-        zf = np.zeros((0, SCAN_WIN), np.float32)
-        zi = np.zeros((0, SCAN_WIN), np.int32)
+        # keep the all-plans-are-SCAN_BLK-padded invariant (the native
+        # path pads too; spgemm_sharded_esc divides by it)
+        zf = np.zeros((SCAN_BLK, SCAN_WIN), np.float32)
+        zi = np.zeros((SCAN_BLK, SCAN_WIN), np.int32)
         return (c_indptr, c_indices.astype(np.int32), 0, zf, zi,
                 np.zeros(n_win + 1, np.int64), zi, zi, 1)
     c_rows = np.repeat(np.arange(a.m, dtype=np.int64),

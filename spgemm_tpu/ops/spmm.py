@@ -227,16 +227,12 @@ def _spmm_gather_kernel(av, col, lrow, xb, *, rg, k_pad):
     )  # (g, rg, k_pad)
 
 
-def spmm_gather(a_csr, x, *, dtype=jnp.float32,
-                rows_per_group: int = 256, w_max: int = 4096):
-    """Y = A @ X for unstructured A, straight from CSR: no tiles, no
-    scatter — X row gathers plus a one-hot row contraction (the SpMM
-    face of the ESC engine's digit reduction, ops/esc.py). Computes in
-    `dtype` (float64 needs jax_enable_x64)."""
-    np_dt = np.dtype(jnp.dtype(dtype).name)
-    if np_dt == np.float64 and not jax.config.jax_enable_x64:
-        raise ValueError(
-            "float64 gather SpMM needs jax_enable_x64=True")
+def _pack_spmm_gather(a_csr, x, np_dt, rows_per_group: int = 256,
+                      w_max: int = 4096):
+    """Shared operand packing for the gather SpMM and its timer: padded
+    X block, and per width class (256 granular, so sparse-row regions
+    don't pad to the densest group) the (av, col, lrow) streams plus the
+    group list for the epilogue."""
     x = np.asarray(x)
     k = x.shape[1]
     k_pad = max(128, -(-k // 128) * 128)
@@ -244,13 +240,11 @@ def spmm_gather(a_csr, x, *, dtype=jnp.float32,
     xb[: a_csr.n, :k] = x
     groups = _spmm_gather_groups(a_csr, rows_per_group, w_max)
     rows_exp = a_csr.rows_expanded()
-    # width classes (256 granular) so sparse-row regions don't pad to the
-    # densest group's product count
     by_w: dict[int, list] = {}
     for g in groups:
         w = -(-max(g[3] - g[2], 1) // 256) * 256
         by_w.setdefault(w, []).append(g)
-    y = np.zeros((a_csr.m, k_pad), np_dt)
+    classes = []
     for w_cap, gs in sorted(by_w.items()):
         g_n = len(gs)
         av = np.zeros((g_n, w_cap), np_dt)
@@ -261,6 +255,24 @@ def spmm_gather(a_csr, x, *, dtype=jnp.float32,
             av[gi, :ln] = a_csr.data[p0:p1]
             col[gi, :ln] = a_csr.indices[p0:p1]
             lrow[gi, :ln] = rows_exp[p0:p1] - r0
+        classes.append((av, col, lrow, gs))
+    return xb, classes, k, k_pad
+
+
+def spmm_gather(a_csr, x, *, dtype=jnp.float32,
+                rows_per_group: int = 256, w_max: int = 4096):
+    """Y = A @ X for unstructured A, straight from CSR: no tiles, no
+    scatter — X row gathers plus a one-hot row contraction (the SpMM
+    face of the ESC engine's digit reduction, ops/esc.py). Computes in
+    `dtype` (float64 needs jax_enable_x64)."""
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+    if np_dt == np.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "float64 gather SpMM needs jax_enable_x64=True")
+    xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np_dt,
+                                              rows_per_group, w_max)
+    y = np.zeros((a_csr.m, k_pad), np_dt)
+    for av, col, lrow, gs in classes:
         out = np.asarray(_spmm_gather_kernel(
             jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow),
             jnp.asarray(xb), rg=rows_per_group, k_pad=k_pad))
@@ -376,29 +388,9 @@ def time_spmm_gather(a_csr, x, *, loop: int = 20,
     operands, chained dispatches). Returns (ms, rtt_ms)."""
     from spgemm_tpu.utils.timing import chained_device_ms
 
-    x = np.asarray(x)
-    k = x.shape[1]
-    k_pad = max(128, -(-k // 128) * 128)
-    xb = np.zeros((a_csr.n + 1, k_pad), np.float32)
-    xb[: a_csr.n, :k] = x
-    groups = _spmm_gather_groups(a_csr)
-    rows_exp = a_csr.rows_expanded()
-    by_w: dict[int, list] = {}
-    for g in groups:
-        w = -(-max(g[3] - g[2], 1) // 256) * 256
-        by_w.setdefault(w, []).append(g)
-    dev = []
-    for w_cap, gs in sorted(by_w.items()):
-        g_n = len(gs)
-        av = np.zeros((g_n, w_cap), np.float32)
-        col = np.full((g_n, w_cap), a_csr.n, np.int32)
-        lrow = np.zeros((g_n, w_cap), np.int32)
-        for gi, (r0, nr, p0, p1) in enumerate(gs):
-            ln = p1 - p0
-            av[gi, :ln] = a_csr.data[p0:p1]
-            col[gi, :ln] = a_csr.indices[p0:p1]
-            lrow[gi, :ln] = rows_exp[p0:p1] - r0
-        dev.append((jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow)))
+    xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np.float32)
+    dev = [(jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow))
+           for av, col, lrow, _ in classes]
     xd = jnp.asarray(xb)
     jax.block_until_ready([d[0] for d in dev] + [xd])
 

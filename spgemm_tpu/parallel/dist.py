@@ -637,8 +637,6 @@ def spgemm_sharded_esc(a_csr, b_csr, mesh: Mesh, *, plan=None):
     This is the multi-chip face of the nsparse replacement: the
     reference is single-GPU; here the unstructured engine scales the
     same way the strip path does (SURVEY.md 2.7)."""
-    import numpy as np
-
     from spgemm_tpu.models.csr import CSR
     from spgemm_tpu.ops.esc import (SCAN_BLK, build_esc_scan_plan,
                                     esc_scan_pallas)
@@ -647,35 +645,46 @@ def spgemm_sharded_esc(a_csr, b_csr, mesh: Mesh, *, plan=None):
         plan = build_esc_scan_plan(a_csr, b_csr, keep_sources=False)
     ndev = mesh.devices.size
     r_total = plan.qv.shape[0]
+    if plan.num_products == 0:
+        return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+                   np.zeros(plan.nnz_c), plan.shape)
     # shard boundaries: window-aligned, padded to the kernel block and
     # equal per device (shard_map needs uniform shapes)
     shard_rows = -(-r_total // (ndev * SCAN_BLK)) * SCAN_BLK
     r_pad = shard_rows * ndev
-    qv = np.zeros((r_pad, 128), np.float32)
-    meta = np.zeros((r_pad, 128), np.int32)
     # windows must not straddle shards: place each window's rows into
     # the shard owning its first row; win_rowptr rows are contiguous
     wr = plan.win_rowptr
     dev_of_win = np.minimum(wr[:-1] // shard_rows, ndev - 1)
-    # new row position: within-device repack (windows stay in order)
+    # new row position: within-device repack (windows stay in order,
+    # vectorized: per-device exclusive cumsum of window row counts)
     rows_per_win = np.diff(wr)
-    new_start = np.zeros(wr.size - 1, np.int64)
-    cursor = np.zeros(ndev, np.int64)
-    for w in range(wr.size - 1):
-        d = dev_of_win[w]
-        new_start[w] = d * shard_rows + cursor[d]
-        cursor[d] += rows_per_win[w]
-    if np.any(cursor > shard_rows):
+    csum = np.cumsum(rows_per_win) - rows_per_win
+    first_w = np.searchsorted(dev_of_win, np.arange(ndev), side="left")
+    base_rows = csum[np.minimum(first_w, csum.size - 1)]
+    new_start = dev_of_win * shard_rows + csum - base_rows[dev_of_win]
+    rows_used = np.zeros(ndev, np.int64)
+    np.add.at(rows_used, dev_of_win, rows_per_win)
+    if np.any(rows_used > shard_rows):
         # extremely skewed: a device overflowed its slab — fall back to
-        # the single-device path
+        # the single-device path (and say so: the caller would otherwise
+        # report a multi-chip number for a single-chip run)
+        import sys
+
         from spgemm_tpu.ops.esc import esc_scan_numeric, esc_scan_trim
 
+        print("spgemm_sharded_esc: window skew overflows the per-device "
+              "slab; running single-device", file=sys.stderr)
         return esc_scan_trim(plan, esc_scan_numeric(plan))
-    for w in range(wr.size - 1):
-        n = int(rows_per_win[w])
-        qv[new_start[w] : new_start[w] + n] = plan.qv[wr[w] : wr[w] + n]
-        meta[new_start[w] : new_start[w] + n] = \
-            plan.meta[wr[w] : wr[w] + n]
+    # one fancy-indexed copy: old row index -> new row index
+    old_rows = np.arange(int(wr[-1]), dtype=np.int64)
+    win_of_row = np.repeat(np.arange(wr.size - 1, dtype=np.int64),
+                           rows_per_win)
+    new_rows = new_start[win_of_row] + (old_rows - wr[win_of_row])
+    qv = np.zeros((r_pad, 128), np.float32)
+    meta = np.zeros((r_pad, 128), np.int32)
+    qv[new_rows] = plan.qv[: old_rows.size]
+    meta[new_rows] = plan.meta[: old_rows.size]
 
     interpret = jax.default_backend() == "cpu"
 
@@ -701,8 +710,6 @@ def spgemm_sharded_esc(a_csr, b_csr, mesh: Mesh, *, plan=None):
         # between shards are zero, so over-summing into the last window
         # of a shard is harmless
         c_val[:] = sums.reshape(-1)[: plan.nnz_c]
-    from spgemm_tpu.models.csr import INDEX_DTYPE
-
     return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
                c_val, plan.shape)
 
