@@ -475,112 +475,326 @@ void esc_fill(
 // dest, fill consecutive 128-lane rows. The device kernel then reduces
 // runs with a lane suffix-scan + dynamic_gather. Same role as the
 // reference's per-bin numeric launches (`tilespgemm-cuda.h:2649-2728`).
+//
+// Host-memory model this is built for (measured, tools/profile_esc_plan
+// .py round 2 -> 3): random 4 B writes ~7 M/s (49 M/s with hugepages),
+// sequential streams ~10 GB/s, and FIRST-TOUCH of new memory is backed
+// by the virtualized host at only ~90 MB/s — so the build is ONE fused
+// pass that (a) walks the F products exactly once, (b) keeps every
+// O(flops) write sequential (per-row LSD radix for heavy rows), and
+// (c) touches the minimum footprint (no per-product dest stream, no
+// global dup/perm arrays — all row-local scratch). Window layout is
+// computed incrementally: dests are enumerated strictly monotonically,
+// so win_rowptr is a running state, not a separate pass.
+// rmat65536 (399 M products): 116 s (round 2) -> ~5 s warm.
 
-// Pass 2 (scan flavour): fill sorted c_indices AND per-dest product
-// counts (c_dup). Returns F.
-int64_t esc_scan_count(
-    const int32_t* a_indptr, const int32_t* a_indices,
-    const int32_t* b_indptr, const int32_t* b_indices,
-    int64_t m, int64_t n, const int32_t* c_indptr,
-    int32_t* c_indices, int32_t* c_dup) {
-  std::vector<int64_t> stamp(n, -1);
-  std::vector<int32_t> pos(n);
-  int64_t flops = 0;
-  for (int64_t i = 0; i < m; ++i) {
-    const int64_t base = c_indptr[i];
-    int32_t cnt = 0;
-    int32_t* cols = c_indices + base;
-    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
-      const int32_t k = a_indices[p];
-      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
-        const int32_t j = b_indices[q];
-        if (stamp[j] != i) {
-          stamp[j] = i;
-          cols[cnt++] = j;
-        }
-      }
+}  // extern "C" — the radix helper below is a template
+
+namespace {
+struct ScanRec { uint32_t dl; float pv; };
+struct ScanRecS { uint32_t dl; float pv; int32_t p, q; };
+
+template <typename Rec>
+inline void radix_by_dl(std::vector<Rec>& a, std::vector<Rec>& b,
+                        int64_t cnt_rows, int64_t f) {
+  // LSD radix by local dest, 12-bit digits (one pass covers cnt <= 4096), stable (preserves A-order
+  // within a run — the layout contract the NumPy fallback's stable
+  // argsort also provides). cnt_rows bounds the key range.
+  constexpr int DB = 12;
+  constexpr int64_t NB = (int64_t)1 << DB;
+  static thread_local std::vector<int64_t> hist;
+  hist.resize(NB);
+  int shift = 0;
+  Rec* src = a.data();
+  Rec* dst = b.data();
+  bool in_a = true;
+  while ((cnt_rows - 1) >> shift) {
+    const int64_t used = std::min<int64_t>(
+        NB, ((cnt_rows - 1) >> shift) + 1);
+    std::fill(hist.begin(), hist.begin() + used, 0);
+    for (int64_t x = 0; x < f; ++x)
+      ++hist[(src[x].dl >> shift) & (NB - 1)];
+    int64_t run = 0;
+    for (int64_t h = 0; h < used; ++h) {
+      const int64_t c = hist[h];
+      hist[h] = run;
+      run += c;
     }
-    std::sort(cols, cols + cnt);
-    for (int32_t t = 0; t < cnt; ++t) pos[cols[t]] = t;
-    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
-      const int32_t k = a_indices[p];
-      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
-        ++c_dup[base + pos[b_indices[q]]];
-        ++flops;
-      }
-    }
+    for (int64_t x = 0; x < f; ++x)
+      dst[hist[(src[x].dl >> shift) & (NB - 1)]++] = src[x];
+    std::swap(src, dst);
+    in_a = !in_a;
+    shift += DB;
   }
-  return flops;
+  if (!in_a) memcpy(a.data(), src, (size_t)f * sizeof(Rec));
 }
+}  // namespace
 
-// Pass 3 (scan flavour): counting-sort products by dest into the padded
-// (R, 128) layout; emit run-start index map + validity and max in-row
-// run length.
-void esc_scan_fill(
+extern "C" {
+
+// The whole scan-plan build in one call. Per C row:
+//   1. walk the row's products once: stamp map collects distinct cols
+//      (first-seen ordinal), dup counts, and an 8/16 B record per
+//      product (ordinal + f64-exact-rounded f32 value [+ src indices]);
+//   2. sorted extraction (bitmap sweep for wide rows, std::sort
+//      otherwise) -> c_indices, first-seen->sorted perm, sorted dups;
+//   3. enumerate the row's dests (globally monotone): advance the
+//      incremental window layout (win_rowptr), compute each dest's
+//      padded offset, OR the run-start marks into meta;
+//   4. order the records by sorted local dest (direct cache-resident
+//      scatter for small rows, remap + LSD radix for heavy ones) and
+//      write qv/meta[/asrc/bsrc] at strictly monotone addresses.
+// qv/meta (and asrc/bsrc when want_src) must arrive pre-zeroed
+// (/-1-prefilled) over ceil(F/128) + n_win_ub + SCAN_BLK rows.
+// out_stats: [0] = max run length, [1] = rows used (unpadded R).
+// Returns nnz_c.
+int64_t esc_scan_build(
     const int32_t* a_indptr, const int32_t* a_indices,
     const int32_t* b_indptr, const int32_t* b_indices,
     const double* a_data, const double* b_data,
-    int64_t m, int64_t n, const int32_t* c_indptr,
-    const int32_t* c_indices, const int32_t* c_dup,
-    const int64_t* win_rowptr, int64_t n_win,
-    int32_t* qm,               // (R*128*2) interleaved [f32 product, meta]
-                               // meta = slot | idx<<7 | valid<<14 — one
-                               // cache line per product in the hot loop
-    int32_t* asrc, int32_t* bsrc,  // optional (want_src)
-    int64_t want_src, int64_t* max_run_out) {
-  const int64_t nnz_c = c_indptr[m];
-  // per-dest start offset in the padded product stream
-  std::vector<int64_t> dest_off(nnz_c + 1, 0);
-  for (int64_t w = 0; w < n_win; ++w) {
-    int64_t running = win_rowptr[w] * 128;
-    const int64_t d1 = std::min<int64_t>((w + 1) * 128, nnz_c);
-    for (int64_t d = w * 128; d < d1; ++d) {
-      dest_off[d] = running;
-      running += c_dup[d];
-    }
-  }
-  // run-start index map + max in-row run
+    int64_t m, int64_t n,
+    int32_t* c_indptr,             // (m+1,)
+    int32_t* c_indices,            // (>= nnz_c,) filled compactly
+    float* qv, int32_t* meta,      // (r_ub*128,) pre-zeroed
+    int32_t* asrc, int32_t* bsrc,  // want_src: prefilled -1 / 0
+    int64_t want_src,
+    int64_t* win_rowptr,           // (>= n_win+1,)
+    int64_t* out_stats) {          // [0]=max_run, [1]=r_total
+  // stamp tag (row id) and first-seen ordinal packed into ONE u64 so
+  // the hot walk makes a single random access per product (random
+  // latency dominates on this host)
+  std::vector<uint64_t> sta(n, ~(uint64_t)0);
+  std::vector<int32_t> cols(n);
+  std::vector<int32_t> dup(n);
+  std::vector<uint32_t> perm(n);
+  std::vector<int64_t> sdup(n);
+  std::vector<int64_t> off_loc(n);
+  std::vector<int64_t> cursor(n);
+  const int64_t nwords = (n + 63) >> 6;
+  std::vector<uint64_t> bits(nwords, 0);
+  // bitmap sweep costs ~n/64 word ops; std::sort ~cnt*log2(cnt)
+  const int64_t bitmap_thresh = std::max<int64_t>(64, n >> 8);
+  std::vector<ScanRec> recs, recs2;
+  std::vector<ScanRecS> srecs, srecs2;
+  constexpr int64_t DIRECT_MAX = 16384;  // products; region <= 128 KB (L2)
+  const bool want = want_src != 0;
+
+  int64_t cur_win = 0;     // open window index
+  int64_t win_used = 0;    // products assigned to it so far
+  int64_t rows_alloc = 0;  // rows of all closed windows
+  win_rowptr[0] = 0;
   int64_t max_run = 1;
-  for (int64_t d = 0; d < nnz_c; ++d) {
-    const int64_t off = dest_off[d];
-    const int64_t dup = c_dup[d];
-    if (dup <= 0) continue;
-    const int32_t lane_s = (int32_t)(d & 127);
-    const int64_t r0 = off >> 7;
-    const int64_t r1 = (off + dup - 1) >> 7;
-    qm[(r0 * 128 + lane_s) * 2 + 1] |=
-        ((int32_t)(off & 127) << 7) | (1 << 14);
-    int64_t run0 = std::min<int64_t>(dup, 128 - (off & 127));
-    if (run0 > max_run) max_run = run0;
-    for (int64_t r = r0 + 1; r <= r1; ++r) {
-      qm[(r * 128 + lane_s) * 2 + 1] |= (1 << 14);  // idx bits: lane 0
-      const int64_t rem = off + dup - r * 128;
-      const int64_t runr = std::min<int64_t>(rem, 128);
-      if (runr > max_run) max_run = runr;
+  auto close_windows_until = [&](int64_t w) {
+    while (cur_win < w) {
+      rows_alloc += std::max<int64_t>(1, (win_used + 127) >> 7);
+      win_rowptr[cur_win + 1] = rows_alloc;
+      ++cur_win;
+      win_used = 0;
     }
-  }
-  *max_run_out = max_run;
-  // counting-sort fill
-  std::vector<int32_t> pos(n);
-  std::vector<int64_t> cursor(nnz_c, 0);
+  };
+
+  c_indptr[0] = 0;
+  int64_t base = 0;
   for (int64_t i = 0; i < m; ++i) {
-    const int64_t base = c_indptr[i];
-    const int32_t cnt = c_indptr[i + 1] - c_indptr[i];
-    for (int32_t t = 0; t < cnt; ++t) pos[c_indices[base + t]] = t;
+    // scratch capacity for this row's products
+    int64_t fb = 0;
+    for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+      const int32_t k = a_indices[p];
+      fb += b_indptr[k + 1] - b_indptr[k];
+    }
+    if (!want) {
+      if ((int64_t)recs.size() < fb) { recs.resize(fb); recs2.resize(fb); }
+    } else {
+      if ((int64_t)srecs.size() < fb) { srecs.resize(fb); srecs2.resize(fb); }
+    }
+    // 1. single product walk: collect + record
+    int64_t cnt = 0;
+    int64_t f_row = 0;
     for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
       const int32_t k = a_indices[p];
       const double aval = a_data[p];
       for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
-        const int64_t d = base + pos[b_indices[q]];
-        const int64_t o = dest_off[d] + cursor[d]++;
+        const int32_t j = b_indices[q];
+        uint32_t t;
+        const uint64_t s = sta[j];
+        if ((s >> 32) != (uint64_t)i) {
+          t = (uint32_t)cnt;
+          sta[j] = ((uint64_t)i << 32) | t;
+          cols[cnt] = j;
+          dup[cnt] = 1;
+          ++cnt;
+        } else {
+          t = (uint32_t)s;
+          ++dup[t];
+        }
         const float pv = (float)(aval * b_data[q]);
-        memcpy(qm + o * 2, &pv, sizeof(float));
-        qm[o * 2 + 1] |= (int32_t)(d & 127);
-        if (want_src) {
-          asrc[o] = p;
-          bsrc[o] = q;
+        if (!want) {
+          recs[f_row].dl = t;
+          recs[f_row].pv = pv;
+        } else {
+          srecs[f_row].dl = t;
+          srecs[f_row].pv = pv;
+          srecs[f_row].p = p;
+          srecs[f_row].q = q;
+        }
+        ++f_row;
+      }
+    }
+    if (!cnt) {
+      c_indptr[i + 1] = (int32_t)base;
+      continue;
+    }
+    // 2. sorted extraction
+    if (cnt >= bitmap_thresh) {
+      for (int64_t t = 0; t < cnt; ++t)
+        bits[cols[t] >> 6] |= (uint64_t)1 << (cols[t] & 63);
+      int64_t s = 0;
+      for (int64_t w = 0; w < nwords; ++w) {
+        uint64_t word = bits[w];
+        if (!word) continue;
+        bits[w] = 0;
+        while (word) {
+          const int32_t j = (int32_t)((w << 6) + __builtin_ctzll(word));
+          word &= word - 1;
+          const uint32_t fs = (uint32_t)sta[j];
+          c_indices[base + s] = j;
+          sdup[s] = dup[fs];
+          perm[fs] = (uint32_t)s;
+          ++s;
         }
       }
+    } else {
+      std::sort(cols.begin(), cols.begin() + cnt);
+      for (int64_t s = 0; s < cnt; ++s) {
+        const int32_t j = cols[s];
+        const uint32_t fs = (uint32_t)sta[j];
+        c_indices[base + s] = j;
+        sdup[s] = dup[fs];
+        perm[fs] = (uint32_t)s;
+      }
+    }
+    // 3. window layout + run-start marks (dests globally monotone)
+    for (int64_t t = 0; t < cnt; ++t) {
+      const int64_t d = base + t;
+      close_windows_until(d >> 7);
+      const int64_t off = rows_alloc * 128 + win_used;
+      off_loc[t] = off;
+      const int64_t dp = sdup[t];
+      const int32_t lane_s = (int32_t)(d & 127);
+      const int64_t r0 = off >> 7;
+      const int64_t r1 = (off + dp - 1) >> 7;
+      meta[r0 * 128 + lane_s] |= ((int32_t)(off & 127) << 7) | (1 << 14);
+      const int64_t run0 = std::min<int64_t>(dp, 128 - (off & 127));
+      if (run0 > max_run) max_run = run0;
+      for (int64_t r = r0 + 1; r <= r1; ++r) {
+        meta[r * 128 + lane_s] |= (1 << 14);
+        const int64_t rem = off + dp - r * 128;
+        const int64_t runr = std::min<int64_t>(rem, 128);
+        if (runr > max_run) max_run = runr;
+      }
+      win_used += dp;
+    }
+    // 4. order records by sorted local dest; monotone plane writes
+    if (f_row <= DIRECT_MAX) {
+      memset(cursor.data(), 0, (size_t)cnt * sizeof(int64_t));
+      if (!want) {
+        for (int64_t x = 0; x < f_row; ++x) {
+          const uint32_t dl = perm[recs[x].dl];
+          const int64_t pos = off_loc[dl] + cursor[dl]++;
+          qv[pos] = recs[x].pv;
+          meta[pos] |= (int32_t)((base + dl) & 127);
+        }
+      } else {
+        for (int64_t x = 0; x < f_row; ++x) {
+          const uint32_t dl = perm[srecs[x].dl];
+          const int64_t pos = off_loc[dl] + cursor[dl]++;
+          qv[pos] = srecs[x].pv;
+          meta[pos] |= (int32_t)((base + dl) & 127);
+          asrc[pos] = srecs[x].p;
+          bsrc[pos] = srecs[x].q;
+        }
+      }
+    } else if (!want) {
+      for (int64_t x = 0; x < f_row; ++x) recs[x].dl = perm[recs[x].dl];
+      radix_by_dl(recs, recs2, cnt, f_row);
+      int64_t pos = 0;
+      uint32_t cur_dl = ~0u;
+      for (int64_t y = 0; y < f_row; ++y) {
+        const uint32_t dl = recs[y].dl;
+        if (dl != cur_dl) {
+          cur_dl = dl;
+          pos = off_loc[dl];
+        }
+        qv[pos] = recs[y].pv;
+        meta[pos] |= (int32_t)((base + dl) & 127);
+        ++pos;
+      }
+    } else {
+      for (int64_t x = 0; x < f_row; ++x) srecs[x].dl = perm[srecs[x].dl];
+      radix_by_dl(srecs, srecs2, cnt, f_row);
+      int64_t pos = 0;
+      uint32_t cur_dl = ~0u;
+      for (int64_t y = 0; y < f_row; ++y) {
+        const uint32_t dl = srecs[y].dl;
+        if (dl != cur_dl) {
+          cur_dl = dl;
+          pos = off_loc[dl];
+        }
+        qv[pos] = srecs[y].pv;
+        meta[pos] |= (int32_t)((base + dl) & 127);
+        asrc[pos] = srecs[y].p;
+        bsrc[pos] = srecs[y].q;
+        ++pos;
+      }
+    }
+    base += cnt;
+    c_indptr[i + 1] = (int32_t)base;
+  }
+  close_windows_until(base ? (base + 127) >> 7 : 1);
+  out_stats[0] = max_run;
+  out_stats[1] = rows_alloc;
+  return base;
+}
+
+// Pattern-fixed value refresh for ScanPlan (the ESC analogue of the
+// reference's step-4-only re-run, `tilespgemm-cuda.h:2649-2728`): one
+// sequential pass over the (R*128) source maps; the input value arrays
+// are cache-resident (nnz * 8 B), so this runs at stream bandwidth.
+void esc_refresh_qv(const int32_t* asrc, const int32_t* bsrc,
+                    const double* a_data, const double* b_data,
+                    int64_t total, float* qv) {
+  for (int64_t i = 0; i < total; ++i) {
+    const int32_t p = asrc[i];
+    qv[i] = p >= 0 ? (float)(a_data[p] * b_data[bsrc[i]]) : 0.0f;
+  }
+}
+
+// Double-double flavour: exact f64 product split into (hi, lo) f32.
+void esc_refresh_dd(const int32_t* asrc, const int32_t* bsrc,
+                    const double* a_data, const double* b_data,
+                    int64_t total, float* hi, float* lo) {
+  for (int64_t i = 0; i < total; ++i) {
+    const int32_t p = asrc[i];
+    const double prod = p >= 0 ? a_data[p] * b_data[bsrc[i]] : 0.0;
+    const float h = (float)prod;
+    hi[i] = h;
+    lo[i] = (float)(prod - (double)h);
+  }
+}
+
+// Separate operand planes for the in-kernel-multiply scan variant
+// (esc_scan_mul_pallas): av/bv f32, padding lanes 0.
+void esc_gather_planes(const int32_t* asrc, const int32_t* bsrc,
+                       const double* a_data, const double* b_data,
+                       int64_t total, float* av, float* bv) {
+  for (int64_t i = 0; i < total; ++i) {
+    const int32_t p = asrc[i];
+    if (p >= 0) {
+      av[i] = (float)a_data[p];
+      bv[i] = (float)b_data[bsrc[i]];
+    } else {
+      av[i] = 0.0f;
+      bv[i] = 0.0f;
     }
   }
 }

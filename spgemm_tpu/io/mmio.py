@@ -89,9 +89,24 @@ def read_mtx(
             if symmetry == "general":
                 dense = vals.reshape(n, m).T  # column-major storage
             else:
+                # MM array symmetric/hermitian files store the lower
+                # triangle including the diagonal; skew-symmetric files
+                # store STRICTLY lower entries (the diagonal is implicitly
+                # zero) — the triangle offset differs (mmio spec; the
+                # reference's coordinate reader has the same asymmetry,
+                # `mmio_highlevel.h:687-694`).
+                # Array storage is column-major: column j lists rows
+                # j..m-1 (symmetric/hermitian) or j+1..m-1 (skew). That
+                # order equals a row-major walk of the UPPER triangle of
+                # the transpose, so fill via triu_indices swapped.
                 dense = np.zeros((m, n))
-                rows, cols = np.tril_indices(m)
-                dense[rows, cols] = vals
+                k = 1 if symmetry == "skew-symmetric" else 0
+                rows_u, cols_u = np.triu_indices(m, k)
+                if vals.size != rows_u.size:
+                    raise MatrixMarketError(
+                        f"array {symmetry} file: expected {rows_u.size} "
+                        f"entries, got {vals.size}")
+                dense[cols_u, rows_u] = vals
                 upper = dense.T.copy()
                 if symmetry == "skew-symmetric":
                     upper = -upper

@@ -229,3 +229,30 @@ def drop_explicit_zeros(c: CSR) -> CSR:
     indptr = np.zeros(c.m + 1, dtype=INDEX_DTYPE)
     np.cumsum(np.bincount(rows, minlength=c.m), out=indptr[1:])
     return CSR(indptr, c.indices[keep], c.data[keep], c.shape)
+
+
+def rows_match_oracle(c: CSR, a: CSR, b: CSR, rows, *, rtol=1e-5,
+                      atol=1e-6) -> bool:
+    """Deterministic row-sample verification for runs too large for the
+    full scipy oracle (the reference checks every run, main.cu:325-350;
+    this keeps that guarantee at any size): compute the selected rows of
+    A @ B exactly via scipy on the row slice of A and compare pattern
+    AND values after dropping explicit zeros on both sides."""
+    import scipy.sparse as sp
+
+    rows = np.asarray(rows, dtype=np.int64)
+
+    def canon(mat):
+        mat = mat.tocsr()
+        mat.eliminate_zeros()
+        mat.sort_indices()
+        return mat
+
+    sa = sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)[rows]
+    sb = sp.csr_matrix((b.data, b.indices, b.indptr), shape=b.shape)
+    ref = canon(sa @ sb)
+    got = canon(
+        sp.csr_matrix((c.data, c.indices, c.indptr), shape=c.shape)[rows])
+    return (np.array_equal(got.indptr, ref.indptr)
+            and np.array_equal(got.indices, ref.indices)
+            and np.allclose(got.data, ref.data, rtol=rtol, atol=atol))

@@ -33,7 +33,7 @@ DEFAULT_CHUNK = 32768
 
 @dataclasses.dataclass
 class SpGEMMResult:
-    c: TileMat
+    c: TileMat | None  # None on the CSR-level ESC route (no tile grid)
     schedule: object  # PairSchedule or GustavsonPlan
     timings_ms: dict[str, float]
     stats: dict[str, float]
@@ -545,7 +545,13 @@ def spgemm_csr(
 def _spgemm_csr_esc(a: CSR, b: CSR | None, *, aat: bool = False,
                     backend: str = "auto", compute_dtype=jnp.float32,
                     device=None, **_ignored) -> tuple[CSR, SpGEMMResult]:
-    """ESC-backend branch of spgemm_csr: no tiling, CSR in / CSR out."""
+    """ESC-backend branch of spgemm_csr: no tiling, CSR in / CSR out.
+
+    The returned SpGEMMResult carries ``c=None``: the ESC engine never
+    builds a TileMat (there is no tile grid on this route — tiling the
+    output of an unstructured multiply would cost more than the multiply).
+    Generic consumers must use the returned CSR; ``res.c`` is only
+    populated by the tiled backends (ADVICE r2)."""
     from spgemm_tpu.ops.esc import spgemm_esc
 
     if aat:

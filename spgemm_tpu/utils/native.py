@@ -271,17 +271,94 @@ def esc_symbolic_native(a, b, s_slots: int, f_max: int, w_min: int):
             asrc, bsrc, slot, layout, av, bv)
 
 
+_libc = None
+
+
+def madvise_hugepage(*arrays):
+    """Advise the kernel to back these numpy arrays with transparent
+    hugepages (THP is in `madvise` mode on this host). First-touch page
+    faulting measured 0.8 GB/s with 4 KB pages vs 2.2 GB/s with THP, and
+    random 4 B writes 7 M/s vs 49 M/s — the difference is TLB reach.
+    No-op on failure; safe on any private anonymous mapping."""
+    global _libc
+    if _libc is None:
+        try:
+            _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+            _libc.madvise.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int]
+        except OSError:
+            _libc = False
+    if not _libc:
+        return
+    page = 4096
+    for arr in arrays:
+        addr = arr.ctypes.data
+        start = (addr + page - 1) & ~(page - 1)
+        end = (addr + arr.nbytes) & ~(page - 1)
+        if end > start:
+            _libc.madvise(start, end - start, 14)  # MADV_HUGEPAGE
+
+
+_POOL: list = []
+
+
+def pool_array(shape, dtype, *, zero: bool = False, fill=None):
+    """Process-level big-buffer pool. On this host (Firecracker VM with
+    lazily host-backed guest memory) first-touch of NEW memory is
+    provisioned at only ~90 MB/s with THP (~35 MB/s without) — ~11 s/GB
+    — while reused memory streams at ~10 GB/s. numpy frees large arrays
+    with munmap, so without a pool every plan build re-pays provisioning.
+    Buffers here are never unmapped; one is reused when no references
+    outside the pool remain (checked via sys.getrefcount on the base
+    buffer — plan arrays returned to callers keep their buffer checked
+    out until the plan is dropped)."""
+    import sys
+
+    nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
+    best = None
+    for buf in _POOL:
+        if buf.nbytes >= nbytes and sys.getrefcount(buf) == 3:
+            # 3 == pool entry + loop variable + getrefcount argument
+            if best is None or buf.nbytes < best.nbytes:
+                best = buf
+    if best is None:
+        cap = 1 << max(20, (max(nbytes, 1) - 1).bit_length())
+        best = np.empty(cap, np.uint8)
+        madvise_hugepage(best)
+        _POOL.append(best)
+    arr = best[:nbytes].view(dtype).reshape(shape)
+    if zero:
+        arr.fill(0)
+    elif fill is not None:
+        arr.fill(fill)
+    return arr
+
+
+def pool_prewarm(nbytes: int, parts: int = 4) -> None:
+    """Fault in ~nbytes of pool memory up front (startup arena
+    provisioning — the one-time ~11 s/GB host-backing cost happens here
+    instead of inside the first plan build)."""
+    held = [pool_array((nbytes // parts,), np.uint8, zero=True)
+            for _ in range(parts)]
+    del held
+
+
 def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
     """Native symbolic for the scan-mode ESC kernel (ops/esc.py
     ScanPlan): dest-sorted (R, 128) row layout, run-start index map.
-    keep_sources=False skips the a_src/b_src maps (2 of the 4 write
-    streams in the O(flops) fill — one-shot multiplies don't need
-    them). Returns the _esc_scan_symbolic_numpy tuple or None."""
+    keep_sources=False skips the a_src/b_src maps (write streams the
+    one-shot f32 multiply doesn't need). Returns the
+    _esc_scan_symbolic_numpy tuple or None.
+
+    ONE native call (esc_scan_build): symbolic walk, incremental window
+    layout and the sequential-write fill are fused — see the design
+    notes in native/csr2tile.cpp and tools/profile_esc_plan.py.
+    c_indices and the planes are pool-backed (pool_array) and sized at
+    cheap upper bounds; untouched tail pages cost nothing."""
     lib = get_lib()
-    if lib is None or not hasattr(lib, "esc_scan_fill"):
+    if lib is None or not hasattr(lib, "esc_scan_build"):
         return None
-    lib.esc_pattern_count.restype = ctypes.c_int64
-    lib.esc_scan_count.restype = ctypes.c_int64
+    lib.esc_scan_build.restype = ctypes.c_int64
 
     m, n = a.m, b.n
     ai = np.ascontiguousarray(a.indptr, np.int32)
@@ -289,65 +366,121 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
     bi = np.ascontiguousarray(b.indptr, np.int32)
     bj = np.ascontiguousarray(b.indices, np.int32)
 
-    c_indptr = np.zeros(m + 1, np.int32)
-    nnz_c = int(lib.esc_pattern_count(
-        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
-        ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32)))
-
-    n_win = max(1, -(-nnz_c // 128))
-    c_indices = np.zeros(nnz_c, np.int32)
-    c_dup = np.zeros(max(nnz_c, 1), np.int32)
-    flops = int(lib.esc_scan_count(
-        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
-        ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
-        _ptr(c_indices, I32), _ptr(c_dup, I32)))
-
-    # window row layout (python: vectorized over n_win)
-    wcnt = np.add.reduceat(
-        c_dup[:nnz_c].astype(np.int64),
-        np.arange(0, nnz_c, 128, dtype=np.int64),
-    ) if nnz_c else np.zeros(1, np.int64)
-    if wcnt.size < n_win:
-        wcnt = np.concatenate([wcnt, np.zeros(n_win - wcnt.size, np.int64)])
-    wrows = np.maximum(1, -(-wcnt // 128))
-    win_rowptr = np.zeros(n_win + 1, np.int64)
-    np.cumsum(wrows, out=win_rowptr[1:])
+    # per-row product counts -> F and the nnzC upper bound (vectorized)
+    blen = np.diff(bi.astype(np.int64))
+    cs0 = np.zeros(aj.size + 1, np.int64)
+    np.cumsum(blen[aj], out=cs0[1:])
+    flops = int(cs0[-1])
     from spgemm_tpu.ops.esc import SCAN_BLK
 
-    # pre-pad R to the kernel block multiple (zero rows; the trim's
-    # win_rowptr never reaches them) so the jitted call never pads
-    r_total = -(-int(win_rowptr[-1]) // SCAN_BLK) * SCAN_BLK
+    if flops == 0:
+        # empty product stream: mirror the NumPy fallback's layout
+        # (SCAN_BLK-padded zero planes, single empty window)
+        zf = np.zeros((SCAN_BLK, 128), np.float32)
+        zi = np.zeros((SCAN_BLK, 128), np.int32)
+        asrc = bsrc = (zi if keep_sources else None)
+        return (np.zeros(m + 1, np.int64), np.zeros(0, np.int32), 0,
+                zf, zi, np.zeros(2, np.int64), asrc, bsrc, 1)
 
-    qm = np.zeros((r_total, 128, 2), np.int32)
+    row_f = cs0[ai[1:].astype(np.int64)] - cs0[ai[:-1].astype(np.int64)]
+    ub_total = max(1, int(np.minimum(row_f, n).sum()))
+    n_win_ub = ub_total // 128 + 1
+    r_ub = (flops + 127) // 128 + n_win_ub + SCAN_BLK
+
+    c_indptr = np.zeros(m + 1, np.int32)
+    c_indices = pool_array((ub_total,), np.int32)
+    qv = pool_array((r_ub, 128), np.float32, zero=True)
+    meta = pool_array((r_ub, 128), np.int32, zero=True)
     if keep_sources:
-        asrc = np.full((r_total, 128), -1, np.int32)
-        bsrc = np.zeros((r_total, 128), np.int32)
+        asrc = pool_array((r_ub, 128), np.int32, fill=-1)
+        bsrc = pool_array((r_ub, 128), np.int32, zero=True)
     else:
         asrc = bsrc = np.zeros(1, np.int32)  # dummy target
-    max_run = np.zeros(1, np.int64)
-    if flops:
-        ad = np.ascontiguousarray(a.data, np.float64)
-        bd = np.ascontiguousarray(b.data, np.float64)
-        lib.esc_scan_fill(
-            _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
-            _ptr(ad, F64), _ptr(bd, F64),
-            ctypes.c_int64(m), ctypes.c_int64(n), _ptr(c_indptr, I32),
-            _ptr(c_indices, I32), _ptr(c_dup, I32),
-            _ptr(win_rowptr, I64), ctypes.c_int64(n_win),
-            _ptr(qm, I32),
-            _ptr(asrc, I32), _ptr(bsrc, I32),
-            ctypes.c_int64(1 if keep_sources else 0),
-            _ptr(max_run, I64))
-    qv = np.ascontiguousarray(qm[:, :, 0]).view(np.float32)
-    meta = np.ascontiguousarray(qm[:, :, 1])
-    if not keep_sources:
+    win_rowptr_buf = pool_array((n_win_ub + 1,), np.int64)
+    stats = np.zeros(2, np.int64)
+    ad = np.ascontiguousarray(a.data, np.float64)
+    bd = np.ascontiguousarray(b.data, np.float64)
+    nnz_c = int(lib.esc_scan_build(
+        _ptr(ai, I32), _ptr(aj, I32), _ptr(bi, I32), _ptr(bj, I32),
+        _ptr(ad, F64), _ptr(bd, F64),
+        ctypes.c_int64(m), ctypes.c_int64(n),
+        _ptr(c_indptr, I32), _ptr(c_indices, I32),
+        _ptr(qv, F32), _ptr(meta, I32),
+        _ptr(asrc, I32), _ptr(bsrc, I32),
+        ctypes.c_int64(1 if keep_sources else 0),
+        _ptr(win_rowptr_buf, I64), _ptr(stats, I64)))
+
+    n_win = max(1, -(-nnz_c // 128))
+    win_rowptr = win_rowptr_buf[: n_win + 1]
+    # pad R to the kernel block multiple (rows beyond r_total are
+    # pre-zeroed; the trim's win_rowptr never reaches them)
+    r_pad = -(-int(stats[1]) // SCAN_BLK) * SCAN_BLK
+    qv, meta = qv[:r_pad], meta[:r_pad]
+    if keep_sources:
+        asrc, bsrc = asrc[:r_pad], bsrc[:r_pad]
+    else:
         asrc = bsrc = None
-    return (c_indptr.astype(np.int64), c_indices, flops, qv, meta,
-            win_rowptr, asrc, bsrc, max(1, int(max_run[0])))
+    return (c_indptr.astype(np.int64), c_indices[:nnz_c], flops, qv, meta,
+            win_rowptr, asrc, bsrc, max(1, int(stats[0])))
 
 
 U16 = ctypes.POINTER(ctypes.c_uint16)
 F32 = ctypes.POINTER(ctypes.c_float)
+
+
+def esc_refresh_qv_native(asrc, bsrc, a_data, b_data, out=None):
+    """Fused gather-multiply-round refresh of a ScanPlan's qv plane
+    (pattern fixed, new values). Returns the f32 plane or None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "esc_refresh_qv"):
+        return None
+    asrc = np.ascontiguousarray(asrc, np.int32)
+    bsrc = np.ascontiguousarray(bsrc, np.int32)
+    ad = np.ascontiguousarray(a_data, np.float64)
+    bd = np.ascontiguousarray(b_data, np.float64)
+    if out is None:
+        out = pool_array(asrc.shape, np.float32)
+    lib.esc_refresh_qv(
+        _ptr(asrc, I32), _ptr(bsrc, I32), _ptr(ad, F64), _ptr(bd, F64),
+        ctypes.c_int64(asrc.size), _ptr(out, F32))
+    return out
+
+
+def esc_refresh_dd_native(asrc, bsrc, a_data, b_data):
+    """Double-double refresh: exact f64 products split into (hi, lo)
+    f32 planes. Returns (hi, lo) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "esc_refresh_dd"):
+        return None
+    asrc = np.ascontiguousarray(asrc, np.int32)
+    bsrc = np.ascontiguousarray(bsrc, np.int32)
+    ad = np.ascontiguousarray(a_data, np.float64)
+    bd = np.ascontiguousarray(b_data, np.float64)
+    hi = pool_array(asrc.shape, np.float32)
+    lo = pool_array(asrc.shape, np.float32)
+    lib.esc_refresh_dd(
+        _ptr(asrc, I32), _ptr(bsrc, I32), _ptr(ad, F64), _ptr(bd, F64),
+        ctypes.c_int64(asrc.size), _ptr(hi, F32), _ptr(lo, F32))
+    return hi, lo
+
+
+def esc_gather_planes_native(asrc, bsrc, a_data, b_data):
+    """Separate (av, bv) f32 operand planes for the in-kernel-multiply
+    scan variant. Returns (av, bv) or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "esc_gather_planes"):
+        return None
+    asrc = np.ascontiguousarray(asrc, np.int32)
+    bsrc = np.ascontiguousarray(bsrc, np.int32)
+    ad = np.ascontiguousarray(a_data, np.float64)
+    bd = np.ascontiguousarray(b_data, np.float64)
+    av = pool_array(asrc.shape, np.float32)
+    bv = pool_array(asrc.shape, np.float32)
+    lib.esc_gather_planes(
+        _ptr(asrc, I32), _ptr(bsrc, I32), _ptr(ad, F64), _ptr(bd, F64),
+        ctypes.c_int64(asrc.size), _ptr(av, F32), _ptr(bv, F32))
+    return av, bv
 
 
 def pack_a_tiles_native(a, max_ablock: int):

@@ -204,6 +204,52 @@ def test_scan_numpy_fallback_matches_native():
     assert np.allclose(ca.data, cb.data, rtol=1e-6)
 
 
+@pytest.mark.parametrize("keep_sources", [True, False])
+def test_scan_native_plan_arrays_exact(keep_sources):
+    """The native symbolic (esc_scan_sym1 + esc_scan_fill2, including the
+    per-row radix and bitmap-extraction paths) must reproduce the NumPy
+    fallback's plan arrays BIT-FOR-BIT: same padded layout, same
+    product order within a run (stable A-order), same run-start marks."""
+    from spgemm_tpu.utils.native import esc_scan_symbolic_native
+    from spgemm_tpu.ops.esc import _esc_scan_symbolic_numpy
+
+    r = np.random.default_rng(99)
+    n = 500
+    # hub structure: a few rows with >4096 products (radix path) and
+    # >=64 distinct cols (bitmap path); the rest tiny (direct path)
+    rows = np.concatenate([
+        np.zeros(900, np.int64),                  # hub row 0: >4096 products
+        r.integers(0, n, 8000),
+    ])
+    cols = np.concatenate([
+        r.integers(0, n, 900),
+        r.integers(0, n, 8000),
+    ])
+    a = CSR.from_coo(rows, cols, r.standard_normal(rows.size), (n, n))
+    blen = np.diff(a.indptr)
+    f_row0 = int(blen[a.indices[: a.indptr[1]]].sum())
+    assert f_row0 > 4096  # hub row must take the radix path
+    native = esc_scan_symbolic_native(a, a, keep_sources=keep_sources)
+    if native is None:
+        pytest.skip("native library unavailable")
+    ref = _esc_scan_symbolic_numpy(a, a)
+    (ci_n, cx_n, f_n, qv_n, mt_n, wr_n, as_n, bs_n, mr_n) = native
+    (ci_r, cx_r, f_r, qv_r, mt_r, wr_r, as_r, bs_r, mr_r) = ref
+    assert f_n == f_r and mr_n == mr_r
+    np.testing.assert_array_equal(ci_n, ci_r)
+    np.testing.assert_array_equal(cx_n, cx_r)
+    np.testing.assert_array_equal(wr_n, wr_r)
+    # fallback is always SCAN_BLK-padded like the native path
+    assert qv_n.shape == qv_r.shape
+    np.testing.assert_array_equal(qv_n, qv_r)
+    np.testing.assert_array_equal(mt_n, mt_r)
+    if keep_sources:
+        np.testing.assert_array_equal(as_n, as_r)
+        np.testing.assert_array_equal(bs_n, bs_r)
+    else:
+        assert as_n is None and bs_n is None
+
+
 def test_scan_dd_f64_accuracy():
     """Double-double scan kernel: f64-accurate results from f32 hardware
     (exact on the reference's integer value model; ~1e-14 on wide

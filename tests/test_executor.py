@@ -55,3 +55,89 @@ def test_time_numeric(make_random_csr):
     ex = StripExecutor(at, bt, block_rows=4)
     ms, rtt = ex.time_numeric(loop=2, repeats=1)
     assert ms >= 0 and rtt >= 0
+
+
+def test_esc_executor_premul_and_update(make_random_csr, rng):
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.ops.esc import build_esc_scan_plan
+    from spgemm_tpu.ops.executor import EscExecutor
+
+    a = make_random_csr(200, 200, 0.05)
+    plan = build_esc_scan_plan(a, a, keep_sources=True)
+    ex = EscExecutor(plan)
+    c = ex.run_csr()
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5, atol=1e-7)
+
+    # pattern-fixed value refresh: one plane upload, same structure
+    a2 = CSR(a.indptr, a.indices,
+             rng.standard_normal(a.nnz), a.shape)
+    ex.update_values(a2.data, a2.data)
+    c2 = ex.run_csr()
+    ref2 = golden.spgemm_scipy(a2, a2)
+    got2 = golden.drop_explicit_zeros(c2)
+    assert got2.pattern_equal(ref2)
+    np.testing.assert_allclose(got2.data, ref2.data, rtol=1e-5, atol=1e-7)
+
+
+def test_esc_executor_mul_mode(make_random_csr, rng):
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.ops.esc import build_esc_scan_plan
+    from spgemm_tpu.ops.executor import EscExecutor
+
+    a = make_random_csr(150, 150, 0.06)
+    plan = build_esc_scan_plan(a, a, keep_sources=True)
+    ex = EscExecutor(plan, mode="mul")
+    c = ex.run_csr()
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+
+    a2 = CSR(a.indptr, a.indices, rng.standard_normal(a.nnz), a.shape)
+    ex.update_values(a2.data, a2.data)
+    got2 = golden.drop_explicit_zeros(ex.run_csr())
+    ref2 = golden.spgemm_scipy(a2, a2)
+    assert got2.pattern_equal(ref2)
+    np.testing.assert_allclose(got2.data, ref2.data, rtol=1e-4, atol=1e-6)
+
+
+def test_esc_executor_errors(make_random_csr):
+    from spgemm_tpu.ops.esc import build_esc_plan, build_esc_scan_plan
+    from spgemm_tpu.ops.executor import EscExecutor
+
+    a = make_random_csr(64, 64, 0.1)
+    digit_plan = build_esc_plan(a, a)
+    with pytest.raises(TypeError, match="ScanPlan"):
+        EscExecutor(digit_plan)
+    plan_nosrc = build_esc_scan_plan(a, a, keep_sources=False)
+    # mul mode without sources is allowed (av=qv, bv=ones split) and
+    # must produce the same results
+    exm = EscExecutor(plan_nosrc, mode="mul")
+    ref = golden.spgemm_scipy(a, a)
+    gm = golden.drop_explicit_zeros(exm.run_csr())
+    assert gm.pattern_equal(ref)
+    np.testing.assert_allclose(gm.data, ref.data, rtol=1e-5, atol=1e-7)
+    with pytest.raises(ValueError, match="keep_sources"):
+        exm.update_values(np.ones(a.nnz), np.ones(a.nnz))
+    ex = EscExecutor(plan_nosrc)  # premul without sources: run-only
+    with pytest.raises(ValueError, match="keep_sources"):
+        ex.update_values(np.ones(a.nnz), np.ones(a.nnz))
+    with pytest.raises(ValueError, match="premul"):
+        EscExecutor(build_esc_scan_plan(a, a), mode="bogus")
+
+
+def test_esc_executor_time_numeric(make_random_csr):
+    from spgemm_tpu.ops.esc import build_esc_scan_plan
+    from spgemm_tpu.ops.executor import EscExecutor
+
+    a = make_random_csr(96, 96, 0.08)
+    for mode in ("premul", "mul"):
+        ex = EscExecutor(build_esc_scan_plan(a, a), mode=mode) \
+            if mode == "premul" else \
+            EscExecutor(build_esc_scan_plan(a, a, keep_sources=True),
+                        mode=mode)
+        ms, rtt = ex.time_numeric(loop=2, repeats=1)
+        assert ms >= 0 and rtt >= 0

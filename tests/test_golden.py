@@ -56,3 +56,20 @@ def test_rectangular_chain(make_random_csr):
         np.testing.assert_allclose(
             algo(a, b).to_dense(), a.to_dense() @ b.to_dense(), rtol=1e-12
         )
+
+
+def test_rows_match_oracle(make_random_csr):
+    from spgemm_tpu.ops.golden import rows_match_oracle, spgemm_scipy
+
+    a = make_random_csr(80, 80, 0.08)
+    c = spgemm_scipy(a, a)
+    rows = np.array([0, 3, 17, 42, 79])
+    assert rows_match_oracle(c, a, a, rows)
+    bad = c.data.copy()
+    # corrupt a value inside a sampled row
+    lo, hi = int(c.indptr[17]), int(c.indptr[18])
+    if hi > lo:
+        bad[lo] += 1.0
+        from spgemm_tpu.models.csr import CSR
+        cbad = CSR(c.indptr, c.indices, bad, c.shape)
+        assert not rows_match_oracle(cbad, a, a, rows)

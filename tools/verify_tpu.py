@@ -56,6 +56,24 @@ c3e, res3e = spgemm_csr(ar, backend="esc")
 ok3e = np.allclose(c3e.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
 print(f"random 700x700 esc ok={ok3e}")
 fails += not ok3e
+# EscExecutor: resident-operand serving loop — run, value refresh
+# (native fused gather-multiply), and the in-kernel-multiply variant
+from spgemm_tpu.ops.esc import build_esc_scan_plan as _besp
+from spgemm_tpu.ops.executor import EscExecutor
+
+pex = _besp(ar, ar, keep_sources=True)
+for mode in ("premul", "mul"):
+    exq = EscExecutor(pex, mode=mode)
+    cex = exq.run_csr()
+    okx = np.allclose(cex.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
+    new_vals = rng.standard_normal(ar.nnz)
+    exq.update_values(new_vals, ar.data)
+    ar2d = CSR(ar.indptr, ar.indices, new_vals, ar.shape).to_dense()
+    cex2 = exq.run_csr()
+    okx2 = np.allclose(cex2.to_dense(), ar2d @ ard, rtol=1e-4, atol=1e-6)
+    print(f"esc executor mode={mode} run ok={okx} refresh ok={okx2}")
+    fails += (not okx) + (not okx2)
+
 # f64 double-double scan engine: exact on integer values
 from spgemm_tpu.ops.esc import build_esc_scan_plan, esc_scan_dd
 ai = CSR.from_coo(rng.integers(0, 700, 9000), rng.integers(0, 700, 9000),
