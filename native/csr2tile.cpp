@@ -30,6 +30,12 @@ int64_t csr2tile_count(
     int32_t* tptr /* gm+1 */) {
   const int64_t gm = (m + tm - 1) / tm;
   const int64_t gn = (n + tn - 1) / tn;
+  // tile dims are powers of two in practice; int division by a runtime
+  // divisor costs ~25 cycles/op and dominated the converter (measured
+  // ~6 divisions/nnz). The p2 ternaries below are loop-invariant, so
+  // -O3 unswitches them into shift-only loops.
+  const bool p2 = (tn & (tn - 1)) == 0;
+  const int sh = __builtin_ctzll((uint64_t)tn);
 
 #pragma omp parallel
   {
@@ -41,7 +47,8 @@ int64_t csr2tile_count(
       const int64_t r1 = r0 + tm < m ? r0 + tm : m;
       for (int64_t r = r0; r < r1; ++r) {
         for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-          const int64_t tc = indices[p] / tn;
+          const int64_t c = indices[p];
+          const int64_t tc = p2 ? (c >> sh) : (c / tn);
           if (stamp[tc] != (int32_t)bi) {
             stamp[tc] = (int32_t)bi;
             ++cnt;
@@ -71,6 +78,8 @@ void csr2tile_fill(
   const int64_t gn = (n + tn - 1) / tn;
   const int64_t mw = (tn + 31) / 32;
   const int64_t nt = tptr[gm];
+  const bool p2 = (tn & (tn - 1)) == 0;
+  const int sh = __builtin_ctzll((uint64_t)tn);
 
   // pass 1: per tile-row, assign tile ordinals (sorted by tcol) and count
   // per-tile-per-row nonzeros into rowptr slots.
@@ -87,7 +96,8 @@ void csr2tile_fill(
       int32_t seen = 0;
       for (int64_t r = r0; r < r1; ++r)
         for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-          const int64_t tc = indices[p] / tn;
+          const int64_t c = indices[p];
+          const int64_t tc = p2 ? (c >> sh) : (c / tn);
           if (ord[tc] < 0) {
             ord[tc] = 1;  // mark
             tcol[base + seen] = (int32_t)tc;
@@ -113,10 +123,11 @@ void csr2tile_fill(
         const int64_t ri = r - r0;
         for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
           const int64_t c = indices[p];
-          const int32_t t = ord[c / tn];
+          const int64_t ci = p2 ? (c & (tn - 1)) : (c % tn);
+          const int32_t t = ord[p2 ? (c >> sh) : (c / tn)];
           ++rowptr[(int64_t)t * (tm + 1) + ri + 1];
-          mask[((int64_t)t * tm + ri) * mw + (c % tn) / 32] |=
-              (uint32_t)1 << ((c % tn) % 32);
+          mask[((int64_t)t * tm + ri) * mw + (ci >> 5)] |=
+              (uint32_t)1 << (ci & 31);
         }
       }
       // reset ord for reuse
@@ -151,10 +162,10 @@ void csr2tile_fill(
         // preserves row-major intra-tile order.
         for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
           const int64_t c = indices[p];
-          const int32_t t = ord[c / tn];
+          const int32_t t = ord[p2 ? (c >> sh) : (c / tn)];
           int32_t* rp = rowptr + (int64_t)t * (tm + 1);
           const int64_t pos = tnnz_ptr[t] + rp[ri]++;
-          rc[pos] = (int32_t)(ri * tn + c % tn);
+          rc[pos] = (int32_t)(ri * tn + (p2 ? (c & (tn - 1)) : (c % tn)));
           val[pos] = data[p];
         }
       }
@@ -199,7 +210,9 @@ void tile2csr(
       const int64_t gr = r0 + i;
       for (int32_t p = rp[i]; p < rp[i + 1]; ++p) {
         const int64_t q = tnnz_ptr[t] + p;
-        indices[cur[gr]] = (int32_t)(c0 + rc[q] % tn);
+        indices[cur[gr]] = (int32_t)(
+            c0 + (((tn & (tn - 1)) == 0) ? (rc[q] & (tn - 1))
+                                         : (rc[q] % tn)));
         data[cur[gr]] = val[q];
         ++cur[gr];
       }
@@ -333,6 +346,8 @@ void pack_b_slabs(
     int64_t gk, int64_t tk, int64_t tn, int64_t max_b,
     float* out_val, uint16_t* out_occ) {
   const int64_t width = max_b * tn;
+  const bool p2 = (tn & (tn - 1)) == 0;
+  const int sh = __builtin_ctzll((uint64_t)tn);
 #pragma omp parallel for schedule(dynamic, 16)
   for (int64_t k = 0; k < gk; ++k) {
     float* dv = out_val + k * tk * width;
@@ -342,8 +357,8 @@ void pack_b_slabs(
       const int32_t t = tptr[k] + y;
       const int64_t c0 = (int64_t)y * tn;
       for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
-        const int64_t r = rc[p] / tn;
-        const int64_t c = rc[p] % tn;
+        const int64_t r = p2 ? (rc[p] >> sh) : (rc[p] / tn);
+        const int64_t c = p2 ? (rc[p] & (tn - 1)) : (rc[p] % tn);
         dv[r * width + c0 + c] = (float)val[p];
         doq[r * width + c0 + c] = 0x3F80;
       }
@@ -546,6 +561,11 @@ extern "C" {
 //      write qv/meta[/asrc/bsrc] at strictly monotone addresses.
 // qv/meta (and asrc/bsrc when want_src) must arrive pre-zeroed
 // (/-1-prefilled) over ceil(F/128) + n_win_ub + SCAN_BLK rows.
+// meta bit layout per lane: 0-6 slot (dest & 127), 7-13 run-start gather
+// lane, 14 slot-present, 15-21 distance to the end of this lane's
+// in-row run — the scan kernels mask each doubling pass with one
+// compare (dist >= d) instead of rolling the slot tags, saving a third
+// of the VPU roll traffic (the f64 double-double kernel is roll-bound).
 // out_stats: [0] = max run length, [1] = rows used (unpadded R).
 // Returns nnz_c.
 int64_t esc_scan_build(
@@ -558,6 +578,7 @@ int64_t esc_scan_build(
     float* qv, int32_t* meta,      // (r_ub*128,) pre-zeroed
     int32_t* asrc, int32_t* bsrc,  // want_src: prefilled -1 / 0
     int64_t want_src,
+    int64_t group_rows,            // pad each window's rows to this
     int64_t* win_rowptr,           // (>= n_win+1,)
     int64_t* out_stats) {          // [0]=max_run, [1]=r_total
   // stamp tag (row id) and first-seen ordinal packed into ONE u64 so
@@ -586,7 +607,9 @@ int64_t esc_scan_build(
   int64_t max_run = 1;
   auto close_windows_until = [&](int64_t w) {
     while (cur_win < w) {
-      rows_alloc += std::max<int64_t>(1, (win_used + 127) >> 7);
+      int64_t wrows = std::max<int64_t>(1, (win_used + 127) >> 7);
+      wrows = (wrows + group_rows - 1) / group_rows * group_rows;
+      rows_alloc += wrows;
       win_rowptr[cur_win + 1] = rows_alloc;
       ++cur_win;
       win_used = 0;
@@ -700,16 +723,22 @@ int64_t esc_scan_build(
       if (!want) {
         for (int64_t x = 0; x < f_row; ++x) {
           const uint32_t dl = perm[recs[x].dl];
-          const int64_t pos = off_loc[dl] + cursor[dl]++;
+          const int64_t orel = cursor[dl]++;
+          const int64_t pos = off_loc[dl] + orel;
+          const int64_t dist = std::min<int64_t>(
+              sdup[dl] - 1 - orel, 127 - (pos & 127));
           qv[pos] = recs[x].pv;
-          meta[pos] |= (int32_t)((base + dl) & 127);
+          meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
         }
       } else {
         for (int64_t x = 0; x < f_row; ++x) {
           const uint32_t dl = perm[srecs[x].dl];
-          const int64_t pos = off_loc[dl] + cursor[dl]++;
+          const int64_t orel = cursor[dl]++;
+          const int64_t pos = off_loc[dl] + orel;
+          const int64_t dist = std::min<int64_t>(
+              sdup[dl] - 1 - orel, 127 - (pos & 127));
           qv[pos] = srecs[x].pv;
-          meta[pos] |= (int32_t)((base + dl) & 127);
+          meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
           asrc[pos] = srecs[x].p;
           bsrc[pos] = srecs[x].q;
         }
@@ -717,34 +746,42 @@ int64_t esc_scan_build(
     } else if (!want) {
       for (int64_t x = 0; x < f_row; ++x) recs[x].dl = perm[recs[x].dl];
       radix_by_dl(recs, recs2, cnt, f_row);
-      int64_t pos = 0;
+      int64_t pos = 0, orel = 0;
       uint32_t cur_dl = ~0u;
       for (int64_t y = 0; y < f_row; ++y) {
         const uint32_t dl = recs[y].dl;
         if (dl != cur_dl) {
           cur_dl = dl;
           pos = off_loc[dl];
+          orel = 0;
         }
+        const int64_t dist = std::min<int64_t>(
+            sdup[dl] - 1 - orel, 127 - (pos & 127));
         qv[pos] = recs[y].pv;
-        meta[pos] |= (int32_t)((base + dl) & 127);
+        meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
         ++pos;
+        ++orel;
       }
     } else {
       for (int64_t x = 0; x < f_row; ++x) srecs[x].dl = perm[srecs[x].dl];
       radix_by_dl(srecs, srecs2, cnt, f_row);
-      int64_t pos = 0;
+      int64_t pos = 0, orel = 0;
       uint32_t cur_dl = ~0u;
       for (int64_t y = 0; y < f_row; ++y) {
         const uint32_t dl = srecs[y].dl;
         if (dl != cur_dl) {
           cur_dl = dl;
           pos = off_loc[dl];
+          orel = 0;
         }
+        const int64_t dist = std::min<int64_t>(
+            sdup[dl] - 1 - orel, 127 - (pos & 127));
         qv[pos] = srecs[y].pv;
-        meta[pos] |= (int32_t)((base + dl) & 127);
+        meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
         asrc[pos] = srecs[y].p;
         bsrc[pos] = srecs[y].q;
         ++pos;
+        ++orel;
       }
     }
     base += cnt;

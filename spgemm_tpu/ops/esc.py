@@ -363,7 +363,8 @@ class ScanPlan:
     qv carries the host-premultiplied products (f64 multiply rounded
     once to f32 — strictly tighter than a device f32*f32). meta packs
     per lane: bits 0-6 slot (dest & 127), bits 7-13 the run-start lane
-    this slot gathers from, bit 14 slot-present."""
+    this slot gathers from, bit 14 slot-present, bits 15-21 distance to
+    the end of this lane's in-row run (the kernels' doubling mask)."""
 
     shape: tuple[int, int]
     c_indptr: np.ndarray
@@ -376,6 +377,7 @@ class ScanPlan:
     a_src: np.ndarray | None     # (R, 128) int32, -1 padding
     b_src: np.ndarray | None     # (None when keep_sources=False)
     passes: int                  # ceil(log2(max in-row run length))
+    group_rows: int = 1          # in-kernel G-row window reduction factor
     symbolic_ms: float = 0.0
 
     def device_arrays(self):
@@ -405,20 +407,33 @@ class ScanPlan:
 
 
 def build_esc_scan_plan(a: CSR, b: CSR, *,
-                        keep_sources: bool = True) -> ScanPlan:
+                        keep_sources: bool = True,
+                        group_rows: int = 1) -> ScanPlan:
     """Host symbolic for scan mode. Native C++ fast path
-    (native/csr2tile.cpp:esc_scan_fill) with a vectorized NumPy
+    (native/csr2tile.cpp:esc_scan_build) with a vectorized NumPy
     fallback (argsort by destination = the counting sort).
     keep_sources=False skips the a_src/b_src maps (faster fill; the
-    plan then cannot refresh_values or run the double-double path)."""
+    plan then cannot refresh_values or run the double-double path).
+
+    group_rows=G pads every window's row count to a multiple of G; the
+    kernels then emit per-G-row-group sums, cutting output HBM traffic
+    by G. The kernels here run at this chip's practical stream
+    bandwidth (~450 GB/s measured with a trivial copy kernel), so
+    traffic IS the runtime. Worth it when windows average >= ~2G rows
+    (dup-heavy structured inputs: cant-like windows average ~23 rows);
+    harmful when windows are thin (rmat ~3 rows -> padding blow-up) —
+    see choose_group_rows."""
     t0 = time.perf_counter()
     if a.n != b.m:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
+    if group_rows not in (1, 2, 4, 8):
+        raise ValueError(f"group_rows must be 1, 2, 4 or 8: {group_rows}")
     from spgemm_tpu.utils.native import esc_scan_symbolic_native
 
-    res = esc_scan_symbolic_native(a, b, keep_sources=keep_sources)
+    res = esc_scan_symbolic_native(a, b, keep_sources=keep_sources,
+                                   group_rows=group_rows)
     if res is None:
-        res = _esc_scan_symbolic_numpy(a, b)
+        res = _esc_scan_symbolic_numpy(a, b, group_rows=group_rows)
     (c_indptr, c_indices, total, qv, meta,
      win_rowptr, asrc, bsrc, max_run) = res
     plan = ScanPlan(
@@ -428,12 +443,13 @@ def build_esc_scan_plan(a: CSR, b: CSR, *,
         qv=qv, meta=meta,
         win_rowptr=win_rowptr, a_src=asrc, b_src=bsrc,
         passes=max(0, int(max_run - 1).bit_length()),
+        group_rows=group_rows,
     )
     plan.symbolic_ms = (time.perf_counter() - t0) * 1e3
     return plan
 
 
-def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
+def _esc_scan_symbolic_numpy(a: CSR, b: CSR, group_rows: int = 1):
     """NumPy scan-mode symbolic: global stable argsort by destination is
     the counting sort; everything else is layout arithmetic."""
     c_indptr, c_indices = _structural_pattern(a, b)
@@ -460,6 +476,7 @@ def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
     win = ds >> 7
     wcnt = np.bincount(win, minlength=n_win).astype(np.int64)
     wrows = np.maximum(1, -(-wcnt // SCAN_WIN))
+    wrows = -(-wrows // group_rows) * group_rows
     win_rowptr = np.zeros(n_win + 1, np.int64)
     np.cumsum(wrows, out=win_rowptr[1:])
     r_total = -(-int(win_rowptr[-1]) // SCAN_BLK) * SCAN_BLK
@@ -473,33 +490,138 @@ def _esc_scan_symbolic_numpy(a: CSR, b: CSR):
     meta = np.zeros((r_total, SCAN_WIN), np.int32)
     asrc = np.full((r_total, SCAN_WIN), -1, np.int32)
     bsrc = np.zeros((r_total, SCAN_WIN), np.int32)
-    qv[prow, plane] = (a.data[a_idx[order]]
-                       * b.data[b_idx[order]]).astype(np.float32)
-    meta[prow, plane] = (ds & 127).astype(np.int32)
-    asrc[prow, plane] = a_idx[order].astype(np.int32)
-    bsrc[prow, plane] = b_idx[order].astype(np.int32)
-
-    # run starts: first product of each (row, dest) pair
+    # in-row run segments: first product of each (row, dest) pair
     fir = np.concatenate(([True], (ds[1:] != ds[:-1])
                           | (prow[1:] != prow[:-1])))
+    starts_pos = np.flatnonzero(fir)
+    runlen = np.diff(np.append(starts_pos, total))
+    run_id = np.cumsum(fir) - 1
+    rel = np.arange(total, dtype=np.int64) - starts_pos[run_id]
+    # distance to the end of this lane's in-row run (meta bits 15-21) —
+    # lets the kernels mask each doubling pass with ONE compare instead
+    # of rolling the slot tags (see esc_scan_pallas)
+    dist = np.minimum(runlen[run_id] - 1 - rel, 127 - plane)
+    qv[prow, plane] = (a.data[a_idx[order]]
+                       * b.data[b_idx[order]]).astype(np.float32)
+    meta[prow, plane] = ((ds & 127) | (dist << 15)).astype(np.int32)
+    asrc[prow, plane] = a_idx[order].astype(np.int32)
+    bsrc[prow, plane] = b_idx[order].astype(np.int32)
     meta[prow[fir], (ds[fir] & 127)] |= (
         (plane[fir].astype(np.int32) << 7) | (1 << 14))
-    # max in-row run length
-    runlen = np.diff(np.append(np.flatnonzero(fir), total))
     max_run = int(runlen.max()) if runlen.size else 1
     return (c_indptr, c_indices.astype(np.int32), total, qv, meta,
             win_rowptr, asrc, bsrc, max_run)
 
 
+def _scan_stream_call(compute, ins, n_out, *, blk, g,
+                      interpret):
+    """Hand-scheduled double-buffered streaming pallas_call.
+
+    `ins` are (R, 128) HBM-resident arrays consumed in blk-row chunks;
+    `compute` maps the chunk views to n_out (blk//g, 128) f32 outputs,
+    which stream back through their own double-buffered DMA. Why manual:
+    BlockSpec auto-pipelining sustains only ~330-450 GB/s on this chip
+    (measured, tools/profile_esc_plan.py round 3) while this pattern —
+    the same one the strip kernel uses — sustains ~786 GB/s (bench.py
+    roofline: 912 MB in 1.16 ms). Grid programs execute in order on TPU,
+    so scratch/semaphore state carries across programs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    r_pad, wn = ins[0].shape
+    n_chunks = r_pad // blk
+    n_in = len(ins)
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        out_refs = refs[n_in : n_in + n_out]
+        sc = refs[n_in + n_out :]
+        in_sc = sc[:n_in]
+        out_sc = sc[n_in : n_in + n_out]
+        in_sem = sc[n_in + n_out : 2 * n_in + n_out]
+        out_sem = sc[2 * n_in + n_out :]
+
+        j = pl.program_id(0)
+        buf = j % 2
+
+        def in_dmas(p, slot):
+            return [pltpu.make_async_copy(
+                in_refs[i].at[pl.ds(p * blk, blk)], in_sc[i].at[slot],
+                in_sem[i].at[slot]) for i in range(n_in)]
+
+        def out_dmas(p, slot):
+            ob = blk // g
+            return [pltpu.make_async_copy(
+                out_sc[i].at[slot], out_refs[i].at[pl.ds(p * ob, ob)],
+                out_sem[i].at[slot]) for i in range(n_out)]
+
+        @pl.when(j == 0)
+        def _():
+            for d in in_dmas(0, 0):
+                d.start()
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            for d in in_dmas(j + 1, 1 - buf):
+                d.start()
+
+        for d in in_dmas(j, buf):
+            d.wait()
+
+        # reclaim this slot's out buffers (written back by program j-2)
+        @pl.when(j >= 2)
+        def _():
+            for d in out_dmas(j - 2, buf):
+                d.wait()
+
+        outs = compute(*[isc[buf] for isc in in_sc])
+        for i in range(n_out):
+            out_sc[i][buf] = outs[i]
+        for d in out_dmas(j, buf):
+            d.start()
+
+        @pl.when(j == n_chunks - 1)
+        def _():
+            @pl.when(j >= 1)
+            def _():
+                for d in out_dmas(j - 1, 1 - buf):
+                    d.wait()
+
+            for d in out_dmas(j, buf):
+                d.wait()
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    scratch = (
+        [pltpu.VMEM((2, blk, wn), a.dtype) for a in ins]
+        + [pltpu.VMEM((2, blk // g, wn), jnp.float32)] * n_out
+        + [pltpu.SemaphoreType.DMA((2,))] * (n_in + n_out)
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[any_spec] * n_in,
+        out_specs=tuple([any_spec] * n_out) if n_out > 1 else any_spec,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((r_pad // g, wn), jnp.float32)
+            for _ in range(n_out)) if n_out > 1 else
+            jax.ShapeDtypeStruct((r_pad // g, wn), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(*ins)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("passes", "block_rows", "interpret"))
+                   static_argnames=("passes", "block_rows", "group_rows",
+                                    "interpret"))
 def esc_scan_pallas(qv, meta, *, passes: int = 7,
-                    block_rows: int = SCAN_BLK, interpret: bool = False):
+                    block_rows: int = SCAN_BLK, group_rows: int = 1,
+                    interpret: bool = False):
     """The scan kernel: log-doubling segmented suffix-scan along lanes
     (equal adjacent slots = one run, rows sorted by host); one
     dynamic_gather (take_along_axis axis=1) pulls each run's total to
     its slot lane. 8 bytes of HBM traffic per product, pure f32 adds."""
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     r, wn = qv.shape
@@ -508,41 +630,45 @@ def esc_scan_pallas(qv, meta, *, passes: int = 7,
     if r_pad != r:
         pad = ((0, r_pad - r), (0, 0))
         qv, meta = jnp.pad(qv, pad), jnp.pad(meta, pad)
+    g = group_rows
 
-    def kernel(qv_ref, m_ref, out_ref):
-        q = qv_ref[:]
-        mt = m_ref[:]
-        s = mt & 127
+    def compute(q, mt):
         idx = (mt >> 7) & 127
-        val = (mt >> 14).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, wn), 1)
+        val = ((mt >> 14) & 1).astype(jnp.float32)
+        # host-precomputed distance to the in-row run end: the doubling
+        # mask is ONE compare per pass (dist >= d implies lane+d is in
+        # the same run AND in-row, so no slot-tag roll and no lane
+        # bound check — a third of the roll traffic gone)
+        dist = mt >> 15
         for k in range(passes):
             d = 1 << k
             # left-roll by d == right-roll by wn - d (pltpu.roll wants
             # a non-negative shift)
             qr = pltpu.roll(q, wn - d, axis=1)
-            sr = pltpu.roll(s, wn - d, axis=1)
-            ok = (sr == s) & (lane < wn - d)
-            q = q + jnp.where(ok, qr, 0.0)
-        out_ref[:] = jnp.take_along_axis(q, idx, axis=1) * val
+            q = q + jnp.where(dist >= d, qr, 0.0)
+        y = jnp.take_along_axis(q, idx, axis=1) * val
+        if g > 1:
+            # in-kernel G-row window reduction (plan rows are padded to
+            # a multiple of G): output traffic drops by G. Reduce via
+            # 128-aligned LANE segments of a (blk/G, G*128) view:
+            # full-register adds, no sublane shuffles.
+            y2 = y.reshape(blk // g, g * wn)
+            acc = y2[:, :wn]
+            for j in range(1, g):
+                acc = acc + y2[:, j * wn : (j + 1) * wn]
+            y = acc
+        return (y,)
 
-    bs = lambda: pl.BlockSpec((blk, wn), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(r_pad // blk,),
-        in_specs=[bs(), bs()],
-        out_specs=bs(),
-        out_shape=jax.ShapeDtypeStruct((r_pad, wn), jnp.float32),
-        interpret=interpret,
-    )(qv, meta)
-    return out[:r]
+    out = _scan_stream_call(compute, (qv, meta), 1, blk=blk, g=g,
+                            interpret=interpret)
+    return out[: r // g]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("passes", "block_rows", "interpret"))
+                   static_argnames=("passes", "block_rows", "group_rows",
+                                    "interpret"))
 def esc_scan_mul_pallas(av, bv, meta, *, passes: int = 7,
-                        block_rows: int = SCAN_BLK,
+                        block_rows: int = SCAN_BLK, group_rows: int = 1,
                         interpret: bool = False):
     """In-kernel-multiply scan variant: operands arrive as separate
     (av, bv) f32 planes and the kernel computes q = av * bv before the
@@ -553,7 +679,6 @@ def esc_scan_mul_pallas(av, bv, meta, *, passes: int = 7,
     device-GFLOPS number with the same accounting as the strip/reference
     kernels (VERDICT r2 weak #2). Also the natural kernel for a future
     device-resident operand-plane serving loop."""
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     r, wn = av.shape
@@ -563,39 +688,37 @@ def esc_scan_mul_pallas(av, bv, meta, *, passes: int = 7,
         pad = ((0, r_pad - r), (0, 0))
         av, bv, meta = jnp.pad(av, pad), jnp.pad(bv, pad), \
             jnp.pad(meta, pad)
+    g = group_rows
 
-    def kernel(av_ref, bv_ref, m_ref, out_ref):
-        q = av_ref[:] * bv_ref[:]
-        mt = m_ref[:]
-        s = mt & 127
+    def compute(a_, b_, mt):
+        q = a_ * b_
         idx = (mt >> 7) & 127
-        val = (mt >> 14).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, wn), 1)
+        val = ((mt >> 14) & 1).astype(jnp.float32)
+        dist = mt >> 15
         for k in range(passes):
             d = 1 << k
             qr = pltpu.roll(q, wn - d, axis=1)
-            sr = pltpu.roll(s, wn - d, axis=1)
-            ok = (sr == s) & (lane < wn - d)
-            q = q + jnp.where(ok, qr, 0.0)
-        out_ref[:] = jnp.take_along_axis(q, idx, axis=1) * val
+            q = q + jnp.where(dist >= d, qr, 0.0)
+        y = jnp.take_along_axis(q, idx, axis=1) * val
+        if g > 1:
+            y2 = y.reshape(blk // g, g * wn)
+            acc = y2[:, :wn]
+            for j in range(1, g):
+                acc = acc + y2[:, j * wn : (j + 1) * wn]
+            y = acc
+        return (y,)
 
-    bs = lambda: pl.BlockSpec((blk, wn), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(r_pad // blk,),
-        in_specs=[bs(), bs(), bs()],
-        out_specs=bs(),
-        out_shape=jax.ShapeDtypeStruct((r_pad, wn), jnp.float32),
-        interpret=interpret,
-    )(av, bv, meta)
-    return out[:r]
+    out = _scan_stream_call(compute, (av, bv, meta), 1, blk=blk, g=g,
+                            interpret=interpret)
+    return out[: r // g]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("passes", "block_rows", "interpret"))
+                   static_argnames=("passes", "block_rows", "group_rows",
+                                    "interpret"))
 def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
-                       block_rows: int = SCAN_BLK, interpret: bool = False):
+                       block_rows: int = SCAN_BLK // 2, group_rows: int = 1,
+                       interpret: bool = False):
     """Double-double (f32x2) scan kernel: the f64 numeric path on
     f32-only TPU hardware (the reference computes double throughout,
     `src/common.h:22`). The host splits each exactly-computed f64
@@ -603,7 +726,6 @@ def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
     a compensated (sum, err) pair combined with a branch-free 2Sum —
     exact IEEE f32 arithmetic in Mosaic, ~2^-48 relative accuracy after
     the host adds f64(sum) + f64(err). Returns (s, e) planes."""
-    from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     r, wn = qh.shape
@@ -613,22 +735,20 @@ def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
         pad = ((0, r_pad - r), (0, 0))
         qh, ql, meta = jnp.pad(qh, pad), jnp.pad(ql, pad), \
             jnp.pad(meta, pad)
+    g = group_rows
 
-    def kernel(qh_ref, ql_ref, m_ref, s_ref, e_ref):
-        s = qh_ref[:]
-        e = ql_ref[:]
-        mt = m_ref[:]
-        sl = mt & 127
+    def compute(s, e, mt):
         idx = (mt >> 7) & 127
-        val = (mt >> 14).astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (blk, wn), 1)
+        val = ((mt >> 14) & 1).astype(jnp.float32)
+        dist = mt >> 15
         zero = jnp.float32(0)
         for k in range(passes):
             d = 1 << k
+            # the dist mask (one compare) replaces the slot-tag roll:
+            # this kernel was roll-bound (3 rolls/pass -> 2)
             sr = pltpu.roll(s, wn - d, axis=1)
             er = pltpu.roll(e, wn - d, axis=1)
-            slr = pltpu.roll(sl, wn - d, axis=1)
-            ok = (slr == sl) & (lane < wn - d)
+            ok = dist >= d
             sr = jnp.where(ok, sr, zero)
             er = jnp.where(ok, er, zero)
             # 2Sum(s, sr): exact error of the f32 add
@@ -637,21 +757,30 @@ def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
             err = (s - (t - bp)) + (sr - bp)
             s = t
             e = e + er + err
-        s_ref[:] = jnp.take_along_axis(s, idx, axis=1) * val
-        e_ref[:] = jnp.take_along_axis(e, idx, axis=1) * val
+        ys = jnp.take_along_axis(s, idx, axis=1) * val
+        ye = jnp.take_along_axis(e, idx, axis=1) * val
+        if g > 1:
+            # compensated G-row reduction (2Sum per add) keeps the
+            # double-double error bound through the in-kernel window
+            # sum; lane-segment slices (128-aligned) avoid sublane
+            # shuffles
+            ys2 = ys.reshape(blk // g, g * wn)
+            ye2 = ye.reshape(blk // g, g * wn)
+            sa = ys2[:, :wn]
+            ea = ye2[:, :wn]
+            for j in range(1, g):
+                sj = ys2[:, j * wn : (j + 1) * wn]
+                t = sa + sj
+                bp = t - sa
+                err = (sa - (t - bp)) + (sj - bp)
+                sa = t
+                ea = ea + ye2[:, j * wn : (j + 1) * wn] + err
+            ys, ye = sa, ea
+        return ys, ye
 
-    bs = lambda: pl.BlockSpec((blk, wn), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)
-    s_out, e_out = pl.pallas_call(
-        kernel,
-        grid=(r_pad // blk,),
-        in_specs=[bs(), bs(), bs()],
-        out_specs=(bs(), bs()),
-        out_shape=(jax.ShapeDtypeStruct((r_pad, wn), jnp.float32),
-                   jax.ShapeDtypeStruct((r_pad, wn), jnp.float32)),
-        interpret=interpret,
-    )(qh, ql, meta)
-    return s_out[:r], e_out[:r]
+    s_out, e_out = _scan_stream_call(compute, (qh, ql, meta), 2,
+                                     blk=blk, g=g, interpret=interpret)
+    return s_out[: r // g], e_out[: r // g]
 
 
 def scan_dd_planes(plan: ScanPlan, a_data=None, b_data=None):
@@ -688,12 +817,14 @@ def esc_scan_dd(plan: ScanPlan, a_data: np.ndarray, b_data: np.ndarray,
     if device is not None:
         arrs = jax.device_put(arrs, device)
     s, e = esc_scan_dd_pallas(
-        *arrs, passes=plan.passes, interpret=interpret)
+        *arrs, passes=plan.passes, group_rows=plan.group_rows,
+        interpret=interpret)
     jax.block_until_ready((s, e))
     c_val = np.zeros(plan.nnz_c, np.float64)
     if plan.nnz_c:
         total = (np.asarray(s, np.float64) + np.asarray(e, np.float64))
-        sums = np.add.reduceat(total, plan.win_rowptr[:-1], axis=0)
+        sums = np.add.reduceat(
+            total, plan.win_rowptr[:-1] // plan.group_rows, axis=0)
         c_val[:] = sums.reshape(-1)[: plan.nnz_c]
     return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
                c_val, plan.shape)
@@ -714,7 +845,8 @@ def time_esc_scan_dd(plan: ScanPlan, a_data, b_data, *, loop: int = 20,
     def chain(qh, ql, meta):
         def body(i, acc):
             s, e = esc_scan_dd_pallas(qh + acc * 1e-30, ql, meta,
-                                      passes=plan.passes)
+                                      passes=plan.passes,
+                                      group_rows=plan.group_rows)
             return acc + jnp.sum(s[-1, -8:]) + jnp.sum(e[-1, -8:])
 
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
@@ -731,6 +863,7 @@ def esc_scan_numeric(plan: ScanPlan, dev=None, *, sync: bool = True,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     out = esc_scan_pallas(dev["qv"], dev["meta"], passes=plan.passes,
+                          group_rows=plan.group_rows,
                           interpret=interpret)
     if sync:
         jax.block_until_ready(out)
@@ -739,11 +872,14 @@ def esc_scan_numeric(plan: ScanPlan, dev=None, *, sync: bool = True,
 
 def esc_scan_trim(plan: ScanPlan, out) -> CSR:
     """Rows of one window are siblings: one reduceat sums them; the
-    window-major flattening is exactly C's value order."""
+    window-major flattening is exactly C's value order. With
+    group_rows=G the kernel already reduced G-row groups, so the
+    reduceat runs over R/G rows."""
     c_val = np.zeros(plan.nnz_c, np.float64)
     if plan.nnz_c:
         arr = np.asarray(out, np.float64)
-        sums = np.add.reduceat(arr, plan.win_rowptr[:-1], axis=0)
+        sums = np.add.reduceat(
+            arr, plan.win_rowptr[:-1] // plan.group_rows, axis=0)
         c_val[:] = sums.reshape(-1)[: plan.nnz_c]
     return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
                c_val, plan.shape)
@@ -761,7 +897,8 @@ def time_esc_scan(plan: ScanPlan, *, loop: int = 20,
     def chain(qv, meta):
         def body(i, acc):
             out = esc_scan_pallas(qv + acc * 1e-30, meta,
-                                  passes=plan.passes)
+                                  passes=plan.passes,
+                                  group_rows=plan.group_rows)
             return acc + jnp.sum(out[-1, -8:])
 
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
@@ -769,6 +906,36 @@ def time_esc_scan(plan: ScanPlan, *, loop: int = 20,
     probe = jax.device_put(jnp.zeros(8, jnp.float32))
     return chained_device_ms(chain, probe, dev["qv"], dev["meta"],
                              repeats=repeats, loop=loop)
+
+
+def choose_group_rows(a: CSR, b: CSR, sample_rows: int = 2048) -> int:
+    """Pick the scan plan's in-kernel window-reduction factor from a
+    cheap sampled duplication estimate: windows average ~dup rows, so
+    G=8 pays when dup is large (structured, e.g. cant-like dup ~22:
+    output traffic /8 for ~6% row padding) and G=1 when windows are
+    thin (rmat ~2.4: padding would blow the layout up)."""
+    m = a.m
+    if m == 0 or a.nnz == 0 or b.nnz == 0:
+        return 1
+    lo = max(0, m // 2 - sample_rows // 2)
+    hi = min(m, lo + sample_rows)
+    sub = CSR(a.indptr[lo : hi + 1] - a.indptr[lo],
+              a.indices[a.indptr[lo] : a.indptr[hi]],
+              a.data[a.indptr[lo] : a.indptr[hi]], (hi - lo, a.n))
+    c_ip, _ = _structural_pattern(sub, b)
+    nnz_sample = int(c_ip[-1])
+    if nnz_sample == 0:
+        return 1
+    blen = (b.indptr[1:] - b.indptr[:-1]).astype(np.int64)
+    f_sample = int(blen[sub.indices].sum())
+    dup = f_sample / nnz_sample
+    if dup >= 16.0:
+        return 8
+    if dup >= 8.0:
+        return 4
+    if dup >= 4.0:
+        return 2
+    return 1
 
 
 def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
@@ -795,7 +962,8 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
 
     if mode == "scan":
         if plan is None:
-            plan = build_esc_scan_plan(a, b, keep_sources=f64)
+            plan = build_esc_scan_plan(a, b, keep_sources=f64,
+                                       group_rows=choose_group_rows(a, b))
         timings["symbolic_ms"] = plan.symbolic_ms
         if f64:
             t0 = time.perf_counter()

@@ -239,9 +239,11 @@ class EscExecutor:
         if self.mode == "premul":
             return esc_scan_pallas(self._vals[0], self._meta,
                                    passes=self.plan.passes,
+                                   group_rows=self.plan.group_rows,
                                    interpret=self.interpret)
         return esc_scan_mul_pallas(self._vals[0], self._vals[1],
                                    self._meta, passes=self.plan.passes,
+                                   group_rows=self.plan.group_rows,
                                    interpret=self.interpret)
 
     def run_csr(self):
@@ -289,13 +291,15 @@ class EscExecutor:
         from spgemm_tpu.utils.timing import chained_device_ms
 
         passes = self.plan.passes
+        grows = self.plan.group_rows
         interp = self.interpret
         if self.mode == "premul":
             @jax.jit
             def chain(qv, meta):
                 def body(i, acc):
                     out = esc_scan_pallas(qv + acc * 1e-30, meta,
-                                          passes=passes, interpret=interp)
+                                          passes=passes, group_rows=grows,
+                                          interpret=interp)
                     return acc + jnp.sum(out[-1, -8:])
                 return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
         else:
@@ -304,6 +308,7 @@ class EscExecutor:
                 def body(i, acc):
                     out = esc_scan_mul_pallas(av + acc * 1e-30, bv, meta,
                                               passes=passes,
+                                              group_rows=grows,
                                               interpret=interp)
                     return acc + jnp.sum(out[-1, -8:])
                 return jax.lax.fori_loop(0, loop, body, jnp.float32(0))

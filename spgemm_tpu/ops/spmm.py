@@ -183,101 +183,78 @@ def _finish(y, vec, a, k):
     return y[:, 0] if vec else y
 
 
-def _spmm_gather_groups(a, rows_per_group: int = 256, w_max: int = 4096):
-    """Row groups for the gather SpMM: <= rows_per_group rows and
-    ~<= w_max products per group; rows wider than w_max split into
-    sibling groups (summed in the epilogue)."""
-    m = a.m
+def _spmm_gather_classes(a, cap: int = 512, gran: int = 4):
+    """Row-length classes for the gather SpMM: rows binned by nnz at
+    `gran` granularity (padding <= gran-1 gathered X rows per row); rows
+    longer than `cap` split into sibling segments summed on the host.
+    Returns [(c, rows_idx, seg_ptr)] where rows_idx lists the CSR row of
+    each segment and seg_ptr its data offset."""
     row_nnz = np.diff(a.indptr).astype(np.int64)
-    groups = []  # (row_lo, n_rows, prod_lo, prod_hi)
-    r = 0
-    while r < m:
+    by_c: dict[int, list] = {}
+    for r in np.flatnonzero(row_nnz > 0):
+        ln = int(row_nnz[r])
         lo = int(a.indptr[r])
-        if row_nnz[r] > w_max:
-            hi = int(a.indptr[r + 1])
-            for q in range(lo, hi, w_max):
-                groups.append((r, 1, q, min(q + w_max, hi)))
-            r += 1
-            continue
-        r_end = min(r + rows_per_group, m)
-        # trim so the product budget holds
-        hi_row = int(np.searchsorted(
-            a.indptr[r : r_end + 1], lo + w_max, side="right")) - 1
-        r_end = max(r + 1, r + hi_row)
-        groups.append((r, r_end - r, lo, int(a.indptr[r_end])))
-        r = r_end
-    return groups
+        while ln > 0:
+            seg = min(ln, cap)
+            c = max(gran, -(-seg // gran) * gran)
+            by_c.setdefault(c, []).append((r, lo, seg))
+            lo += seg
+            ln -= seg
+    return sorted(by_c.items())
 
 
-@functools.partial(jax.jit, static_argnames=("rg", "k_pad"))
-def _spmm_gather_kernel(av, col, lrow, xb, *, rg, k_pad):
-    """out[g, r, :] = sum_w (lrow==r) * av * X[col]: X rows gathered
-    128-wide (the fast gather class), the per-row reduction as a one-hot
-    contraction on the MXU (the one-hot operand is exact in bf16).
-    Runs in the operands' dtype (f32 or f64)."""
-    g, w = av.shape
-    xg = jnp.take(xb, col.reshape(-1), axis=0).reshape(g, w, k_pad)
-    p = av[:, :, None] * xg
-    oh = (lrow[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, rg), 2)).astype(av.dtype)
-    return jax.lax.dot_general(
-        oh, p, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=av.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # (g, rg, k_pad)
+@functools.partial(jax.jit, static_argnames=("k_pad",))
+def _spmm_gather_kernel(av, col, xb, *, k_pad):
+    """out[s, :] = sum_c av[s, c] * X[col[s, c]]: one 128-wide X row
+    gather (the fast gather class, tools/probe_primitives.py) fused into
+    a VPU multiply-reduce. No one-hot matmul: the round-2 formulation
+    spent rg=256 MXU flops per useful flop and ran at 3.5-11 GFLOPS; the
+    gather bound here is ~0.38 G rows/s -> ~100 GFLOPS at k=128."""
+    sN, c = av.shape
+    xg = jnp.take(xb, col.reshape(-1), axis=0).reshape(sN, c, k_pad)
+    return jnp.sum(av[:, :, None] * xg, axis=1)  # (s, k_pad)
 
 
-def _pack_spmm_gather(a_csr, x, np_dt, rows_per_group: int = 256,
-                      w_max: int = 4096):
+def _pack_spmm_gather(a_csr, x, np_dt, cap: int = 512, gran: int = 4):
     """Shared operand packing for the gather SpMM and its timer: padded
-    X block, and per width class (256 granular, so sparse-row regions
-    don't pad to the densest group) the (av, col, lrow) streams plus the
-    group list for the epilogue."""
+    X block plus per-row-length-class (av, col) streams and the segment
+    row map for the host epilogue."""
     x = np.asarray(x)
     k = x.shape[1]
     k_pad = max(128, -(-k // 128) * 128)
     xb = np.zeros((a_csr.n + 1, k_pad), np_dt)
     xb[: a_csr.n, :k] = x
-    groups = _spmm_gather_groups(a_csr, rows_per_group, w_max)
-    rows_exp = a_csr.rows_expanded()
-    by_w: dict[int, list] = {}
-    for g in groups:
-        w = -(-max(g[3] - g[2], 1) // 256) * 256
-        by_w.setdefault(w, []).append(g)
     classes = []
-    for w_cap, gs in sorted(by_w.items()):
-        g_n = len(gs)
-        av = np.zeros((g_n, w_cap), np_dt)
-        col = np.full((g_n, w_cap), a_csr.n, np.int32)  # pad: zero X row
-        lrow = np.zeros((g_n, w_cap), np.int32)
-        for gi, (r0, nr, p0, p1) in enumerate(gs):
-            ln = p1 - p0
-            av[gi, :ln] = a_csr.data[p0:p1]
-            col[gi, :ln] = a_csr.indices[p0:p1]
-            lrow[gi, :ln] = rows_exp[p0:p1] - r0
-        classes.append((av, col, lrow, gs))
+    for c, segs in _spmm_gather_classes(a_csr, cap, gran):
+        sN = len(segs)
+        av = np.zeros((sN, c), np_dt)
+        col = np.full((sN, c), a_csr.n, np.int32)  # pad: zero X row
+        rows = np.zeros(sN, np.int64)
+        for si, (r, lo, seg) in enumerate(segs):
+            av[si, :seg] = a_csr.data[lo : lo + seg]
+            col[si, :seg] = a_csr.indices[lo : lo + seg]
+            rows[si] = r
+        classes.append((av, col, rows))
     return xb, classes, k, k_pad
 
 
-def spmm_gather(a_csr, x, *, dtype=jnp.float32,
-                rows_per_group: int = 256, w_max: int = 4096):
+def spmm_gather(a_csr, x, *, dtype=jnp.float32, cap: int = 512,
+                gran: int = 4):
     """Y = A @ X for unstructured A, straight from CSR: no tiles, no
-    scatter — X row gathers plus a one-hot row contraction (the SpMM
-    face of the ESC engine's digit reduction, ops/esc.py). Computes in
-    `dtype` (float64 needs jax_enable_x64)."""
+    scatter — one 128-wide X row gather per nonzero fused into a VPU
+    multiply-reduce over row-length classes. Computes in `dtype`
+    (float64 needs jax_enable_x64)."""
     np_dt = np.dtype(jnp.dtype(dtype).name)
     if np_dt == np.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
             "float64 gather SpMM needs jax_enable_x64=True")
-    xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np_dt,
-                                              rows_per_group, w_max)
+    xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np_dt)
     y = np.zeros((a_csr.m, k_pad), np_dt)
-    for av, col, lrow, gs in classes:
+    for av, col, rows in classes:
         out = np.asarray(_spmm_gather_kernel(
-            jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow),
-            jnp.asarray(xb), rg=rows_per_group, k_pad=k_pad))
-        for gi, (r0, nr, _, _) in enumerate(gs):
-            y[r0 : r0 + nr] += out[gi, :nr]
+            jnp.asarray(av), jnp.asarray(col), jnp.asarray(xb),
+            k_pad=k_pad))
+        np.add.at(y, rows, out)  # sibling segments of split rows sum
     return y[:, :k]
 
 
@@ -389,22 +366,21 @@ def time_spmm_gather(a_csr, x, *, loop: int = 20,
     from spgemm_tpu.utils.timing import chained_device_ms
 
     xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np.float32)
-    dev = [(jnp.asarray(av), jnp.asarray(col), jnp.asarray(lrow))
-           for av, col, lrow, _ in classes]
+    dev = [(jnp.asarray(av), jnp.asarray(col)) for av, col, _ in classes]
     xd = jnp.asarray(xb)
     jax.block_until_ready([d[0] for d in dev] + [xd])
 
     @jax.jit
     def chain(xd, *flat):
-        arrs = [(flat[3 * i], flat[3 * i + 1], flat[3 * i + 2])
-                for i in range(len(flat) // 3)]
+        arrs = [(flat[2 * i], flat[2 * i + 1])
+                for i in range(len(flat) // 2)]
 
         def body(i, acc):
             s = acc
-            for av, col, lrow in arrs:
-                out = _spmm_gather_kernel(av + acc * 1e-30, col, lrow,
-                                          xd, rg=256, k_pad=k_pad)
-                s = s + jnp.sum(out[-1, -1, -8:])
+            for av, col in arrs:
+                out = _spmm_gather_kernel(av + acc * 1e-30, col, xd,
+                                          k_pad=k_pad)
+                s = s + jnp.sum(out[-1, -8:])
             return s
 
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))

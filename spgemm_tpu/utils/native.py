@@ -343,7 +343,8 @@ def pool_prewarm(nbytes: int, parts: int = 4) -> None:
     del held
 
 
-def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
+def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
+                             group_rows: int = 1):
     """Native symbolic for the scan-mode ESC kernel (ops/esc.py
     ScanPlan): dest-sorted (R, 128) row layout, run-start index map.
     keep_sources=False skips the a_src/b_src maps (write streams the
@@ -385,7 +386,8 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
     row_f = cs0[ai[1:].astype(np.int64)] - cs0[ai[:-1].astype(np.int64)]
     ub_total = max(1, int(np.minimum(row_f, n).sum()))
     n_win_ub = ub_total // 128 + 1
-    r_ub = (flops + 127) // 128 + n_win_ub + SCAN_BLK
+    # every window may pad up to group_rows-1 extra rows
+    r_ub = ((flops + 127) // 128 + n_win_ub * group_rows + SCAN_BLK)
 
     c_indptr = np.zeros(m + 1, np.int32)
     c_indices = pool_array((ub_total,), np.int32)
@@ -408,6 +410,7 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True):
         _ptr(qv, F32), _ptr(meta, I32),
         _ptr(asrc, I32), _ptr(bsrc, I32),
         ctypes.c_int64(1 if keep_sources else 0),
+        ctypes.c_int64(group_rows),
         _ptr(win_rowptr_buf, I64), _ptr(stats, I64)))
 
     n_win = max(1, -(-nnz_c // 128))

@@ -224,3 +224,57 @@ def test_sharded_esc_rect_and_dup(make_random_csr):
     got2 = golden.drop_explicit_zeros(c2)
     assert got2.pattern_equal(ref2)
     assert np.allclose(got2.data, ref2.data, rtol=1e-3, atol=1e-5)
+
+
+def test_place_strip_partition_lazy(make_random_csr):
+    """Decentralized staging: shard-at-a-time device placement must give
+    the same result as the stacked-host-array path, with host peak far
+    below it (no (D, nt_pad, ...) stacks, no D-padded replicated B)."""
+    import tracemalloc
+
+    from spgemm_tpu.models.tile import csr_to_tiles
+    from spgemm_tpu.ops import golden
+    from spgemm_tpu.parallel.dist import (make_mesh, place_strip_partition,
+                                          plan_strip_partition,
+                                          spgemm_sharded_strip)
+
+    from spgemm_tpu.models.csr import CSR
+
+    nb = 512
+    offs = np.arange(-24, 25)
+    rr = np.repeat(np.arange(nb), offs.size)
+    cc = rr + np.tile(offs, nb)
+    keep = (cc >= 0) & (cc < nb)
+    a = CSR.from_coo(rr[keep], cc[keep],
+                     np.random.default_rng(3).integers(
+                         1, 9, int(keep.sum())).astype(np.float64),
+                     (nb, nb))
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    mesh = make_mesh(8)
+
+    tracemalloc.start()
+    arrays, plan = place_strip_partition(at, bt, mesh, block_rows=4)
+    _, lazy_peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert plan.a_val is None  # no stacked host copies retained
+
+    tracemalloc.start()
+    stacked = plan_strip_partition(at, bt, 8, block_rows=4)
+    _, stack_peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # the lazy path holds at most one padded shard at a time
+    assert lazy_peak < 0.7 * stack_peak, (lazy_peak, stack_peak)
+
+    ct = spgemm_sharded_strip(at, bt, mesh, block_rows=4,
+                              placed=(arrays, plan))
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(ct.to_csr())
+    assert got.pattern_equal(ref)
+    np.testing.assert_allclose(got.data, ref.data, rtol=1e-5, atol=1e-7)
+
+
+def test_init_multihost_single_process():
+    from spgemm_tpu.parallel.dist import init_multihost
+
+    assert init_multihost() == 1  # no coordinator: single-process no-op

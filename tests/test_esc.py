@@ -204,8 +204,9 @@ def test_scan_numpy_fallback_matches_native():
     assert np.allclose(ca.data, cb.data, rtol=1e-6)
 
 
-@pytest.mark.parametrize("keep_sources", [True, False])
-def test_scan_native_plan_arrays_exact(keep_sources):
+@pytest.mark.parametrize("keep_sources,group_rows",
+                         [(True, 1), (False, 1), (True, 8), (False, 4)])
+def test_scan_native_plan_arrays_exact(keep_sources, group_rows):
     """The native symbolic (esc_scan_sym1 + esc_scan_fill2, including the
     per-row radix and bitmap-extraction paths) must reproduce the NumPy
     fallback's plan arrays BIT-FOR-BIT: same padded layout, same
@@ -229,10 +230,11 @@ def test_scan_native_plan_arrays_exact(keep_sources):
     blen = np.diff(a.indptr)
     f_row0 = int(blen[a.indices[: a.indptr[1]]].sum())
     assert f_row0 > 4096  # hub row must take the radix path
-    native = esc_scan_symbolic_native(a, a, keep_sources=keep_sources)
+    native = esc_scan_symbolic_native(a, a, keep_sources=keep_sources,
+                                      group_rows=group_rows)
     if native is None:
         pytest.skip("native library unavailable")
-    ref = _esc_scan_symbolic_numpy(a, a)
+    ref = _esc_scan_symbolic_numpy(a, a, group_rows=group_rows)
     (ci_n, cx_n, f_n, qv_n, mt_n, wr_n, as_n, bs_n, mr_n) = native
     (ci_r, cx_r, f_r, qv_r, mt_r, wr_r, as_r, bs_r, mr_r) = ref
     assert f_n == f_r and mr_n == mr_r
@@ -248,6 +250,48 @@ def test_scan_native_plan_arrays_exact(keep_sources):
         np.testing.assert_array_equal(bs_n, bs_r)
     else:
         assert as_n is None and bs_n is None
+
+
+@pytest.mark.parametrize("group_rows", [2, 8])
+def test_scan_group_rows_oracle(group_rows):
+    """G-row in-kernel window reduction (output traffic / G) must be
+    value-correct for both the f32 scan and the double-double kernel."""
+    from spgemm_tpu.ops.esc import (build_esc_scan_plan, esc_scan_dd,
+                                    esc_scan_numeric, esc_scan_trim)
+
+    a = rand_csr(200, 200, 4000, seed=33)
+    plan = build_esc_scan_plan(a, a, keep_sources=True,
+                               group_rows=group_rows)
+    assert plan.group_rows == group_rows
+    assert np.all(np.diff(plan.win_rowptr) % group_rows == 0)
+    c = esc_scan_trim(plan, esc_scan_numeric(plan))
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    # f32 bar (same as assert_matches_oracle): one seed-dependent
+    # heavy-cancellation element sits at ~4e-5 rel even with G=1
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+    # double-double through the same grouped plan: f64-accurate
+    cdd = esc_scan_dd(plan, a.data, a.data)
+    gdd = golden.drop_explicit_zeros(cdd)
+    assert gdd.pattern_equal(ref)
+    assert np.allclose(gdd.data, ref.data, rtol=1e-12, atol=1e-13)
+
+
+def test_choose_group_rows():
+    from spgemm_tpu.ops.esc import choose_group_rows
+
+    # dup-heavy band -> large G; sparse random -> G == 1
+    nb = 512
+    offs = np.arange(-20, 21)
+    rr = np.repeat(np.arange(nb), offs.size)
+    cc = rr + np.tile(offs, nb)
+    keep = (cc >= 0) & (cc < nb)
+    band = CSR.from_coo(rr[keep], cc[keep],
+                        np.ones(int(keep.sum())), (nb, nb))
+    assert choose_group_rows(band, band) == 8
+    sparse = rand_csr(4096, 4096, 8192, seed=5)
+    assert choose_group_rows(sparse, sparse) == 1
 
 
 def test_scan_dd_f64_accuracy():
