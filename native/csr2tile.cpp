@@ -81,29 +81,40 @@ void csr2tile_fill(
   const bool p2 = (tn & (tn - 1)) == 0;
   const int sh = __builtin_ctzll((uint64_t)tn);
 
-  // pass 1: per tile-row, assign tile ordinals (sorted by tcol) and count
-  // per-tile-per-row nonzeros into rowptr slots.
+  // pass 1: ONE walk of the row block's nonzeros that both discovers the
+  // distinct tile cols (first-seen order) and counts per-(tile, intra-row)
+  // nonzeros into a first-seen-ordinal scratch; the sorted permutation is
+  // applied to the small per-tile count blocks afterwards. Mask bits are
+  // set in pass 2 (which touches every nonzero anyway), so fill walks the
+  // nnz twice total instead of three times.
 #pragma omp parallel
   {
-    std::vector<int32_t> ord(gn, -1);     // tile col -> local ordinal
+    std::vector<int32_t> ord(gn, -1);     // tile col -> first-seen ordinal
+    std::vector<int32_t> cnt;             // (local ordinal, ri) -> count
 #pragma omp for schedule(dynamic, 8)
     for (int64_t bi = 0; bi < gm; ++bi) {
       const int32_t base = tptr[bi];
       const int32_t ntiles = tptr[bi + 1] - base;
+      if ((int64_t)cnt.size() < (int64_t)ntiles * tm)
+        cnt.resize((int64_t)ntiles * tm);
       const int64_t r0 = bi * tm;
       const int64_t r1 = r0 + tm < m ? r0 + tm : m;
-      // collect distinct tile cols in first-seen order, then sort
       int32_t seen = 0;
-      for (int64_t r = r0; r < r1; ++r)
+      for (int64_t r = r0; r < r1; ++r) {
+        const int64_t ri = r - r0;
         for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
           const int64_t c = indices[p];
           const int64_t tc = p2 ? (c >> sh) : (c / tn);
-          if (ord[tc] < 0) {
-            ord[tc] = 1;  // mark
-            tcol[base + seen] = (int32_t)tc;
-            ++seen;
+          int32_t o = ord[tc];
+          if (o < 0) {
+            o = seen++;
+            ord[tc] = o;
+            tcol[base + o] = (int32_t)tc;   // first-seen order for now
+            memset(cnt.data() + (int64_t)o * tm, 0, tm * sizeof(int32_t));
           }
+          ++cnt[(int64_t)o * tm + ri];
         }
+      }
       // sort the (small) tile-col list: insertion sort
       for (int32_t i = 1; i < ntiles; ++i) {
         int32_t key = tcol[base + i];
@@ -114,23 +125,15 @@ void csr2tile_fill(
         }
         tcol[base + j + 1] = key;
       }
+      // scatter the per-tile count blocks into rowptr in sorted order;
+      // ord[tc] still holds each tile's first-seen ordinal.
       for (int32_t i = 0; i < ntiles; ++i) {
         trow[base + i] = (int32_t)bi;
-        ord[tcol[base + i]] = base + i;   // global tile ordinal
+        const int32_t fo = ord[tcol[base + i]];
+        int32_t* rp = rowptr + (int64_t)(base + i) * (tm + 1);
+        rp[0] = 0;
+        memcpy(rp + 1, cnt.data() + (int64_t)fo * tm, tm * sizeof(int32_t));
       }
-      // count nnz per (tile, intra-row)
-      for (int64_t r = r0; r < r1; ++r) {
-        const int64_t ri = r - r0;
-        for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
-          const int64_t c = indices[p];
-          const int64_t ci = p2 ? (c & (tn - 1)) : (c % tn);
-          const int32_t t = ord[p2 ? (c >> sh) : (c / tn)];
-          ++rowptr[(int64_t)t * (tm + 1) + ri + 1];
-          mask[((int64_t)t * tm + ri) * mw + (ci >> 5)] |=
-              (uint32_t)1 << (ci & 31);
-        }
-      }
-      // reset ord for reuse
       for (int32_t i = 0; i < ntiles; ++i) ord[tcol[base + i]] = -1;
     }
   }
@@ -162,11 +165,14 @@ void csr2tile_fill(
         // preserves row-major intra-tile order.
         for (int32_t p = indptr[r]; p < indptr[r + 1]; ++p) {
           const int64_t c = indices[p];
+          const int64_t ci = p2 ? (c & (tn - 1)) : (c % tn);
           const int32_t t = ord[p2 ? (c >> sh) : (c / tn)];
           int32_t* rp = rowptr + (int64_t)t * (tm + 1);
           const int64_t pos = tnnz_ptr[t] + rp[ri]++;
-          rc[pos] = (int32_t)(ri * tn + (p2 ? (c & (tn - 1)) : (c % tn)));
+          rc[pos] = (int32_t)(ri * tn + ci);
           val[pos] = data[p];
+          mask[((int64_t)t * tm + ri) * mw + (ci >> 5)] |=
+              (uint32_t)1 << (ci & 31);
         }
       }
       for (int32_t i = 0; i < ntiles; ++i) ord[tcol[base + i]] = -1;
@@ -605,11 +611,29 @@ int64_t esc_scan_build(
   int64_t rows_alloc = 0;  // rows of all closed windows
   win_rowptr[0] = 0;
   int64_t max_run = 1;
+  // Incremental zero/fill of the output planes: the caller hands them
+  // over UNINITIALIZED (a pre-zero over the loose nnzC upper bound cost
+  // multi-GB memsets — 40+ s at cant scale through this host's slow
+  // first-touch). Rows are cleared here exactly once, row-granular,
+  // right before first use while the cache is hot.
+  int64_t zrows = 0;  // plane rows cleared so far
+  auto ensure_rows = [&](int64_t r_end) {
+    if (r_end <= zrows) return;
+    const int64_t lo = zrows * 128, cnt = (r_end - zrows) * 128;
+    memset(qv + lo, 0, (size_t)cnt * sizeof(float));
+    memset(meta + lo, 0, (size_t)cnt * sizeof(int32_t));
+    if (want) {
+      memset(asrc + lo, 0xFF, (size_t)cnt * sizeof(int32_t));  // -1
+      memset(bsrc + lo, 0, (size_t)cnt * sizeof(int32_t));
+    }
+    zrows = r_end;
+  };
   auto close_windows_until = [&](int64_t w) {
     while (cur_win < w) {
       int64_t wrows = std::max<int64_t>(1, (win_used + 127) >> 7);
       wrows = (wrows + group_rows - 1) / group_rows * group_rows;
       rows_alloc += wrows;
+      ensure_rows(rows_alloc);
       win_rowptr[cur_win + 1] = rows_alloc;
       ++cur_win;
       win_used = 0;
@@ -706,6 +730,7 @@ int64_t esc_scan_build(
       const int32_t lane_s = (int32_t)(d & 127);
       const int64_t r0 = off >> 7;
       const int64_t r1 = (off + dp - 1) >> 7;
+      ensure_rows(r1 + 1);
       meta[r0 * 128 + lane_s] |= ((int32_t)(off & 127) << 7) | (1 << 14);
       const int64_t run0 = std::min<int64_t>(dp, 128 - (off & 127));
       if (run0 > max_run) max_run = run0;

@@ -108,13 +108,16 @@ def csr_to_tiles_native(csr, tm: int, tn: int):
         _ptr(tptr, I32),
     ))
 
-    trow = np.zeros(nt, dtype=np.int32)
-    tcol = np.zeros(nt, dtype=np.int32)
-    tnnz_ptr = np.zeros(nt + 1, dtype=np.int32)
-    rowptr = np.zeros((nt, tm + 1), dtype=np.int32)
+    # Only mask needs pre-zeroing (fill |='s bits into it); every other
+    # array is fully written by csr2tile_fill, and the zeroing of rc/val
+    # alone was ~48 MB of memset per cant-scale conversion.
+    trow = np.empty(nt, dtype=np.int32)
+    tcol = np.empty(nt, dtype=np.int32)
+    tnnz_ptr = np.empty(nt + 1, dtype=np.int32)
+    rowptr = np.empty((nt, tm + 1), dtype=np.int32)
     mask = np.zeros((nt, tm, mw), dtype=MASK_DTYPE)
-    rc = np.zeros(csr.nnz, dtype=np.int32)
-    val = np.zeros(csr.nnz, dtype=np.float64)
+    rc = np.empty(csr.nnz, dtype=np.int32)
+    val = np.empty(csr.nnz, dtype=np.float64)
     lib.csr2tile_fill(
         _ptr(indptr, I32), _ptr(indices, I32), _ptr(data, F64),
         ctypes.c_int64(m), ctypes.c_int64(n),
@@ -391,11 +394,16 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
 
     c_indptr = np.zeros(m + 1, np.int32)
     c_indices = pool_array((ub_total,), np.int32)
-    qv = pool_array((r_ub, 128), np.float32, zero=True)
-    meta = pool_array((r_ub, 128), np.int32, zero=True)
+    # planes arrive UNINITIALIZED: esc_scan_build zero/-1-fills rows
+    # incrementally as it allocates them (cache-hot, exactly-once) — a
+    # host-side pre-zero over the loose r_ub bound cost multi-GB
+    # memsets (40+ s at cant scale). Only the [r_total:r_pad] tail is
+    # cleared here after the call.
+    qv = pool_array((r_ub, 128), np.float32)
+    meta = pool_array((r_ub, 128), np.int32)
     if keep_sources:
-        asrc = pool_array((r_ub, 128), np.int32, fill=-1)
-        bsrc = pool_array((r_ub, 128), np.int32, zero=True)
+        asrc = pool_array((r_ub, 128), np.int32)
+        bsrc = pool_array((r_ub, 128), np.int32)
     else:
         asrc = bsrc = np.zeros(1, np.int32)  # dummy target
     win_rowptr_buf = pool_array((n_win_ub + 1,), np.int64)
@@ -415,12 +423,18 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
 
     n_win = max(1, -(-nnz_c // 128))
     win_rowptr = win_rowptr_buf[: n_win + 1]
-    # pad R to the kernel block multiple (rows beyond r_total are
-    # pre-zeroed; the trim's win_rowptr never reaches them)
-    r_pad = -(-int(stats[1]) // SCAN_BLK) * SCAN_BLK
+    # pad R to the kernel block multiple; clear the (<= SCAN_BLK-row)
+    # tail the native build never touched (the trim's win_rowptr never
+    # reaches it, but the kernels stream it)
+    r_total = int(stats[1])
+    r_pad = -(-r_total // SCAN_BLK) * SCAN_BLK
     qv, meta = qv[:r_pad], meta[:r_pad]
+    qv[r_total:] = 0.0
+    meta[r_total:] = 0
     if keep_sources:
         asrc, bsrc = asrc[:r_pad], bsrc[:r_pad]
+        asrc[r_total:] = -1
+        bsrc[r_total:] = 0
     else:
         asrc = bsrc = None
     return (c_indptr.astype(np.int64), c_indices[:nnz_c], flops, qv, meta,
