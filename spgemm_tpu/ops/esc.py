@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 
 import jax
@@ -353,6 +354,32 @@ SCAN_BLK = 2048   # kernel block rows; plans pre-pad R to a multiple so
                   # the jitted path never copies through jnp.pad (the
                   # runtime pad + out-slice cost 2.5x at n=65536)
 
+# The kernels consume only meta bits 7-21 (idx 7 + present 1 + dist 7 =
+# 15 bits): shipping the plane as int16 cuts the scan kernel's HBM
+# traffic from 8 to 6 B/product and the double-double kernel's from 12
+# to 10 — and these kernels run AT stream bandwidth, so traffic is the
+# runtime. Packed layout (after >>7): bits 0-6 idx, bit 7 present,
+# bits 8-14 dist. Values are <= 0x7FFF so the int16 stays non-negative
+# and the in-kernel widen back to i32 is a plain sign extension.
+META16 = os.environ.get("SPGEMM_META16", "1") != "0"
+
+
+def meta16_plane(meta: np.ndarray) -> np.ndarray:
+    """Compress the int32 meta plane to the kernels' int16 form."""
+    return ((meta >> 7) & 0x7FFF).astype(np.int16)
+
+
+def _meta_fields(mt):
+    """Decode (idx, present, dist) from a meta block of either dtype.
+
+    dtype is static at trace time, so this compiles to exactly one
+    layout's shifts; int16 planes are widened once to i32 (Mosaic has
+    no 16-bit shifts/compares worth using here)."""
+    if mt.dtype == jnp.int16:
+        m = mt.astype(jnp.int32)
+        return m & 127, ((m >> 7) & 1).astype(jnp.float32), m >> 8
+    return (mt >> 7) & 127, ((mt >> 14) & 1).astype(jnp.float32), mt >> 15
+
 
 @dataclasses.dataclass
 class ScanPlan:
@@ -381,9 +408,10 @@ class ScanPlan:
     symbolic_ms: float = 0.0
 
     def device_arrays(self):
+        mt = meta16_plane(self.meta) if META16 else self.meta
         return dict(
             qv=jnp.asarray(self.qv),
-            meta=jnp.asarray(self.meta),
+            meta=jnp.asarray(mt),
         )
 
     def refresh_values(self, a_data: np.ndarray, b_data: np.ndarray):
@@ -633,13 +661,11 @@ def esc_scan_pallas(qv, meta, *, passes: int = 7,
     g = group_rows
 
     def compute(q, mt):
-        idx = (mt >> 7) & 127
-        val = ((mt >> 14) & 1).astype(jnp.float32)
         # host-precomputed distance to the in-row run end: the doubling
         # mask is ONE compare per pass (dist >= d implies lane+d is in
         # the same run AND in-row, so no slot-tag roll and no lane
         # bound check — a third of the roll traffic gone)
-        dist = mt >> 15
+        idx, val, dist = _meta_fields(mt)
         for k in range(passes):
             d = 1 << k
             # left-roll by d == right-roll by wn - d (pltpu.roll wants
@@ -692,9 +718,7 @@ def esc_scan_mul_pallas(av, bv, meta, *, passes: int = 7,
 
     def compute(a_, b_, mt):
         q = a_ * b_
-        idx = (mt >> 7) & 127
-        val = ((mt >> 14) & 1).astype(jnp.float32)
-        dist = mt >> 15
+        idx, val, dist = _meta_fields(mt)
         for k in range(passes):
             d = 1 << k
             qr = pltpu.roll(q, wn - d, axis=1)
@@ -738,9 +762,7 @@ def esc_scan_dd_pallas(qh, ql, meta, *, passes: int = 7,
     g = group_rows
 
     def compute(s, e, mt):
-        idx = (mt >> 7) & 127
-        val = ((mt >> 14) & 1).astype(jnp.float32)
-        dist = mt >> 15
+        idx, val, dist = _meta_fields(mt)
         zero = jnp.float32(0)
         for k in range(passes):
             d = 1 << k
@@ -813,7 +835,8 @@ def esc_scan_dd(plan: ScanPlan, a_data: np.ndarray, b_data: np.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hi, lo = scan_dd_planes(plan, a_data, b_data)
-    arrs = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(plan.meta))
+    mt = meta16_plane(plan.meta) if META16 else plan.meta
+    arrs = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(mt))
     if device is not None:
         arrs = jax.device_put(arrs, device)
     s, e = esc_scan_dd_pallas(
@@ -838,7 +861,8 @@ def time_esc_scan_dd(plan: ScanPlan, a_data, b_data, *, loop: int = 20,
     hi, lo = scan_dd_planes(plan, a_data, b_data)
     qh = jax.device_put(jnp.asarray(hi))
     ql = jax.device_put(jnp.asarray(lo))
-    meta = jax.device_put(jnp.asarray(plan.meta))
+    mt = meta16_plane(plan.meta) if META16 else plan.meta
+    meta = jax.device_put(jnp.asarray(mt))
     jax.block_until_ready((qh, ql, meta))
 
     @jax.jit

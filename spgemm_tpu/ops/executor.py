@@ -198,7 +198,9 @@ class EscExecutor:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
-        self._meta = self._put(jnp.asarray(plan.meta))
+        from spgemm_tpu.ops import esc as _esc
+        mt = _esc.meta16_plane(plan.meta) if _esc.META16 else plan.meta
+        self._meta = self._put(jnp.asarray(mt))
         if mode == "premul":
             self._vals = (self._put(jnp.asarray(plan.qv)),)
         else:

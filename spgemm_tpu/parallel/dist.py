@@ -852,10 +852,12 @@ def spgemm_sharded_esc(a_csr, b_csr, mesh: Mesh, *, plan=None):
     win_of_row = np.repeat(np.arange(wr.size - 1, dtype=np.int64),
                            rows_per_win)
     new_rows = new_start[win_of_row] + (old_rows - wr[win_of_row])
+    from spgemm_tpu.ops.esc import META16, meta16_plane
+    src_meta = meta16_plane(plan.meta) if META16 else plan.meta
     qv = np.zeros((r_pad, 128), np.float32)
-    meta = np.zeros((r_pad, 128), np.int32)
+    meta = np.zeros((r_pad, 128), src_meta.dtype)
     qv[new_rows] = plan.qv[: old_rows.size]
-    meta[new_rows] = plan.meta[: old_rows.size]
+    meta[new_rows] = src_meta[: old_rows.size]
 
     interpret = jax.default_backend() == "cpu"
 

@@ -356,3 +356,31 @@ def test_f64_csr_without_x64():
     got = golden.drop_explicit_zeros(c)
     assert got.pattern_equal(ref)
     assert np.allclose(got.data, ref.data, rtol=1e-10, atol=1e-11)
+
+
+def test_meta16_matches_meta32():
+    """The int16 meta plane (6 B/product scan stream) must decode to the
+    same (idx, present, dist) fields and produce bit-identical kernel
+    output as the int32 plane it compresses."""
+    import spgemm_tpu.ops.esc as esc_mod
+    from spgemm_tpu.ops.esc import (build_esc_scan_plan, esc_scan_pallas,
+                                    esc_scan_trim, meta16_plane)
+
+    a = rand_csr(180, 180, 2200, seed=44)
+    plan = build_esc_scan_plan(a, a)
+    m16 = meta16_plane(plan.meta)
+    assert m16.dtype == np.int16 and np.all(m16 >= 0)
+    # field-level round trip vs the documented int32 layout
+    np.testing.assert_array_equal(m16 & 127, (plan.meta >> 7) & 127)
+    np.testing.assert_array_equal((m16 >> 7) & 1, (plan.meta >> 14) & 1)
+    np.testing.assert_array_equal(m16 >> 8, plan.meta >> 15)
+    import jax.numpy as jnp
+    out32 = esc_scan_pallas(jnp.asarray(plan.qv), jnp.asarray(plan.meta),
+                            passes=plan.passes, interpret=True)
+    out16 = esc_scan_pallas(jnp.asarray(plan.qv), jnp.asarray(m16),
+                            passes=plan.passes, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out32), np.asarray(out16))
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(esc_scan_trim(plan, out16))
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
