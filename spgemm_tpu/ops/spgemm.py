@@ -482,6 +482,33 @@ def tile_occupancy_estimate(a: CSR, tm: int = 16, tn: int = 128) -> float:
 # occupied 16x128 tile; dense-ish bands are hundreds, random is ~1-4)
 ESC_OCCUPANCY_TH = 8.0
 
+# Second routing signal (r3): MXU reuse = products per A-nonzero = the
+# mean B-row length met by each a_ik. The strip kernel amortizes its
+# per-tile DMA (A/B slabs, C block writeback) over the MXU flops each
+# tile pair contributes; when reuse is low the writeback dominates and
+# the tiled path runs far below stream bandwidth while the scan engine
+# moves only ~6 B/product. Calibration on the checked-in suite
+# (data/suite_summary.csv, v5e): blockdiag65536 occ=265 reuse=16.6 ran
+# strip at 29 GFLOPS where the scan model sits at ~95; banded65536
+# (occ=520, reuse=65) and cant-like (occ=520, reuse=65) run strip at
+# 176-404 GFLOPS, far above the scan model's ~120. Patterns with BOTH
+# moderate occupancy and low reuse therefore route to ESC.
+ESC_STRUCTURED_OCC_TH = 384.0
+ESC_REUSE_TH = 32.0
+
+
+def _mxu_reuse(a: CSR, b: CSR | None, aat: bool) -> float:
+    """Products per A-nonzero (mean partner-row length), vectorized."""
+    if a.nnz == 0:
+        return 0.0
+    if aat:
+        cnt = np.bincount(a.indices, minlength=a.n)
+        f = int(cnt[a.indices].sum())
+    else:
+        bb = a if b is None else b
+        f = int(np.diff(bb.indptr).astype(np.int64)[a.indices].sum())
+    return f / a.nnz
+
 
 def spgemm_csr(
     a: CSR,
@@ -509,10 +536,14 @@ def spgemm_csr(
     (TileMat.transpose_tiles) — no CSR transpose round-trip.
     """
     backend = kw.get("backend", "auto")
-    if backend == "esc" or (
-        backend == "auto"
-        and tile_occupancy_estimate(a, tm, tn) < ESC_OCCUPANCY_TH
-    ):
+    if backend == "auto":
+        occ = tile_occupancy_estimate(a, tm, tn)
+        if occ < ESC_OCCUPANCY_TH or (
+            occ < ESC_STRUCTURED_OCC_TH
+            and _mxu_reuse(a, b, aat) < ESC_REUSE_TH
+        ):
+            return _spgemm_csr_esc(a, b, aat=aat, **kw)
+    elif backend == "esc":
         return _spgemm_csr_esc(a, b, aat=aat, **kw)
     at = csr_to_tiles(a, tm, tn)
     # Inner blocking must agree: A tiles are (tm, tn), so the B-role matrix

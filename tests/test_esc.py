@@ -141,8 +141,10 @@ def test_spgemm_csr_esc_backend_and_auto():
     c2, res2 = spgemm_csr(a, aat=True, backend="esc")
     ref2 = golden.spgemm_scipy(a, a.transpose())
     assert golden.drop_explicit_zeros(c2).allclose(ref2, rtol=1e-4, atol=1e-6)
-    # structured input keeps the strip path
-    nb, offs = 512, np.arange(-8, 9)
+    # structured high-reuse input keeps the strip path (a 65-wide band:
+    # reuse ~65 — narrow bands with reuse < ESC_REUSE_TH now route to
+    # the scan engine by design, see test_auto_routes_low_reuse_to_esc)
+    nb, offs = 512, np.arange(-32, 33)
     rr = np.repeat(np.arange(nb), offs.size)
     cc = rr + np.tile(offs, nb)
     keep = (cc >= 0) & (cc < nb)
