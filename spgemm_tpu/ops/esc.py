@@ -363,6 +363,12 @@ SCAN_BLK = 2048   # kernel block rows; plans pre-pad R to a multiple so
 # and the in-kernel widen back to i32 is a plain sign extension.
 META16 = os.environ.get("SPGEMM_META16", "1") != "0"
 
+# Device-side window combine (sibling-row reduction on device; D2H then
+# carries ~4*nnzC bytes instead of the full product-row planes). See
+# esc_scan_numeric_combined below. SPGEMM_DEVICE_COMBINE=0 reverts to
+# the host reduceat trim.
+DEVICE_COMBINE = os.environ.get("SPGEMM_DEVICE_COMBINE", "1") != "0"
+
 
 def meta16_plane(meta: np.ndarray) -> np.ndarray:
     """Compress the int32 meta plane to the kernels' int16 form."""
@@ -842,6 +848,10 @@ def esc_scan_dd(plan: ScanPlan, a_data: np.ndarray, b_data: np.ndarray,
     s, e = esc_scan_dd_pallas(
         *arrs, passes=plan.passes, group_rows=plan.group_rows,
         interpret=interpret)
+    if DEVICE_COMBINE:
+        res, tail = _combine_apply_dd(plan, s, e)
+        jax.block_until_ready(res)
+        return esc_scan_trim_combined_dd(plan, res, tail)
     jax.block_until_ready((s, e))
     c_val = np.zeros(plan.nnz_c, np.float64)
     if plan.nnz_c:
@@ -905,6 +915,185 @@ def esc_scan_trim(plan: ScanPlan, out) -> CSR:
         sums = np.add.reduceat(
             arr, plan.win_rowptr[:-1] // plan.group_rows, axis=0)
         c_val[:] = sums.reshape(-1)[: plan.nnz_c]
+    return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+               c_val, plan.shape)
+
+
+# --- device-side window combine --------------------------------------------
+# The host trim downloads the full (R/G, 128) kernel output and reduceats
+# sibling rows — R/G is F/(128*G*fill) rows, i.e. dup/fill times more
+# data than C itself. The combine below performs the sibling reduction ON
+# DEVICE with the two primitives this chip is actually fast at (128-wide
+# row gathers and full-register adds — see benchdata/probe_*.txt):
+# windows are grouped into row-count classes, each class is one
+# take(axis=0) + reshape + sum; a final row-gather assembles window
+# order. D2H then carries ~4*nnzC bytes instead of ~4*F/fill (cant A2:
+# 48 MB vs 1.09 GB). Windows taller than COMBINE_K rows (only hub-heavy
+# tails, <3% of rows on rmat65536) are chunk-reduced on device and
+# finished on the host in f64.
+
+COMBINE_K = 32
+
+
+def _combine_layout(plan: ScanPlan):
+    """Plan-static gather layout for the device combine (cached)."""
+    cached = getattr(plan, "_combine_cache", None)
+    if cached is not None:
+        return cached
+    g = plan.group_rows
+    start = (plan.win_rowptr[:-1] // g).astype(np.int64)
+    wr = (np.diff(plan.win_rowptr) // g).astype(np.int64)
+    n_win = wr.size
+    main = wr <= COMBINE_K
+    classes = []
+    perm = np.empty(n_win, np.int64)
+    base = 0
+    for k in np.unique(wr[main]) if main.any() else []:
+        if k == 0:
+            continue  # empty-plan windows: resolved to the zero row below
+        wsel = np.flatnonzero(wr == k)
+        rows = (start[wsel][:, None]
+                + np.arange(k, dtype=np.int64)[None, :]).reshape(-1)
+        classes.append((int(k), rows.astype(np.int32)))
+        perm[wsel] = base + np.arange(wsel.size)
+        base += wsel.size
+    perm[wr == 0] = base  # empty windows read the appended zero row
+    tsel = np.flatnonzero(~main)
+    tail_idx = np.zeros(0, np.int32)
+    tail_ptr = np.zeros(1, np.int64)
+    if tsel.size:
+        # chunk each tall window into COMBINE_K-row pieces, padding the
+        # last piece with a sentinel row (index R_out = appended zeros)
+        n_chunks = -(-wr[tsel] // COMBINE_K)
+        tail_ptr = np.zeros(tsel.size + 1, np.int64)
+        np.cumsum(n_chunks, out=tail_ptr[1:])
+        rows = []
+        for w, nc in zip(tsel, n_chunks):
+            r = np.arange(nc * COMBINE_K, dtype=np.int64) + start[w]
+            r[wr[w]:] = -1  # sentinel, resolved below
+            rows.append(r)
+        tail_idx = np.concatenate(rows).astype(np.int32)
+        perm[tsel] = base  # points at the appended zero row of cat
+    layout = (classes, perm.astype(np.int32), tsel, tail_idx, tail_ptr)
+    plan._combine_cache = layout
+    return layout
+
+
+def _combine_apply(plan: ScanPlan, out):
+    """Jittable: (R/G, 128) kernel output -> ((n_win, 128) window sums
+    with tall windows zeroed, (n_tail_chunks, 128) tail partials)."""
+    classes, perm, tsel, tail_idx, _ = _combine_layout(plan)
+    zero = jnp.zeros((1, out.shape[1]), out.dtype)
+    parts = [
+        jnp.take(out, jnp.asarray(idx), axis=0)
+        .reshape(-1, k, out.shape[1]).sum(axis=1)
+        for k, idx in classes
+    ]
+    cat = jnp.concatenate(parts + [zero], axis=0)
+    res = jnp.take(cat, jnp.asarray(perm), axis=0)
+    tail = None
+    if tail_idx.size:
+        outz = jnp.concatenate([out, zero], axis=0)
+        sent = jnp.asarray(np.where(tail_idx < 0, out.shape[0],
+                                    tail_idx).astype(np.int32))
+        tail = (jnp.take(outz, sent, axis=0)
+                .reshape(-1, COMBINE_K, out.shape[1]).sum(axis=1))
+    return res, tail
+
+
+def _combine_apply_dd(plan: ScanPlan, s, e):
+    """Compensated device combine for the double-double planes: sibling
+    rows are reduced with the same branch-free 2Sum the kernel uses, so
+    the ~2^-48 error bound survives the window reduction (a plain f32
+    sum here would throw away the compensation)."""
+    classes, perm, tsel, tail_idx, _ = _combine_layout(plan)
+    wn = s.shape[1]
+    zero = jnp.zeros((1, wn), s.dtype)
+
+    def red(ss, ee):
+        sa, ea = ss[:, 0], ee[:, 0]
+        for j in range(1, ss.shape[1]):
+            sj = ss[:, j]
+            t = sa + sj
+            bp = t - sa
+            err = (sa - (t - bp)) + (sj - bp)
+            sa = t
+            ea = ea + ee[:, j] + err
+        return sa, ea
+
+    parts_s, parts_e = [], []
+    for k, idx in classes:
+        ii = jnp.asarray(idx)
+        sa, ea = red(jnp.take(s, ii, axis=0).reshape(-1, k, wn),
+                     jnp.take(e, ii, axis=0).reshape(-1, k, wn))
+        parts_s.append(sa)
+        parts_e.append(ea)
+    cat_s = jnp.concatenate(parts_s + [zero], axis=0)
+    cat_e = jnp.concatenate(parts_e + [zero], axis=0)
+    pp = jnp.asarray(perm)
+    res = (jnp.take(cat_s, pp, axis=0), jnp.take(cat_e, pp, axis=0))
+    tail = None
+    if tail_idx.size:
+        sent = jnp.asarray(np.where(tail_idx < 0, s.shape[0],
+                                    tail_idx).astype(np.int32))
+        sz = jnp.concatenate([s, zero], axis=0)
+        ez = jnp.concatenate([e, zero], axis=0)
+        tail = red(jnp.take(sz, sent, axis=0).reshape(-1, COMBINE_K, wn),
+                   jnp.take(ez, sent, axis=0).reshape(-1, COMBINE_K, wn))
+    return res, tail
+
+
+def esc_scan_trim_combined_dd(plan: ScanPlan, res, tail) -> CSR:
+    """Host epilogue of the DD device combine: f64(s) + f64(e) per
+    window, tall windows finished from their compensated chunk pairs."""
+    c_val = np.zeros(plan.nnz_c, np.float64)
+    if plan.nnz_c:
+        arr = (np.asarray(res[0], np.float64)
+               + np.asarray(res[1], np.float64))
+        _, _, tsel, _, tail_ptr = _combine_layout(plan)
+        if tsel.size:
+            tp = (np.asarray(tail[0], np.float64)
+                  + np.asarray(tail[1], np.float64))
+            arr[tsel] = np.add.reduceat(tp, tail_ptr[:-1], axis=0)
+        c_val[:] = arr.reshape(-1)[: plan.nnz_c]
+    return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
+               c_val, plan.shape)
+
+
+def esc_scan_numeric_combined(plan: ScanPlan, dev=None, *,
+                              sync: bool = True,
+                              interpret: bool | None = None):
+    """Scan kernel + device-side window combine in one jitted dispatch.
+    Returns (res, tail) device arrays for esc_scan_trim_combined."""
+    if dev is None:
+        dev = plan.device_arrays()
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fused(qv, meta):
+        out = esc_scan_pallas(qv, meta, passes=plan.passes,
+                              group_rows=plan.group_rows,
+                              interpret=interpret)
+        return _combine_apply(plan, out)
+
+    res, tail = fused(dev["qv"], dev["meta"])
+    if sync:
+        jax.block_until_ready(res)
+    return res, tail
+
+
+def esc_scan_trim_combined(plan: ScanPlan, res, tail) -> CSR:
+    """Host epilogue of the device combine: download the (n_win, 128)
+    window sums (~4*nnzC bytes), finish tall windows in f64."""
+    c_val = np.zeros(plan.nnz_c, np.float64)
+    if plan.nnz_c:
+        arr = np.asarray(res, np.float64)
+        _, _, tsel, _, tail_ptr = _combine_layout(plan)
+        if tsel.size:
+            tp = np.asarray(tail, np.float64)
+            arr[tsel] = np.add.reduceat(tp, tail_ptr[:-1], axis=0)
+        c_val[:] = arr.reshape(-1)[: plan.nnz_c]
     return CSR(plan.c_indptr.astype(INDEX_DTYPE), plan.c_indices,
                c_val, plan.shape)
 
@@ -1002,6 +1191,14 @@ def spgemm_esc(a: CSR, b: CSR, *, dtype=np.float32,
             dev = {k: jax.device_put(v, device) for k, v in dev.items()}
         jax.block_until_ready(dev["qv"])
         timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+        if DEVICE_COMBINE:
+            t0 = time.perf_counter()
+            res, tail = esc_scan_numeric_combined(plan, dev)
+            timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+            t0 = time.perf_counter()
+            c = esc_scan_trim_combined(plan, res, tail)
+            timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+            return c, timings, plan
         t0 = time.perf_counter()
         out = esc_scan_numeric(plan, dev)
         timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3

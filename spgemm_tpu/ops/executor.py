@@ -249,12 +249,20 @@ class EscExecutor:
                                    interpret=self.interpret)
 
     def run_csr(self):
-        """run() + host trim to the final CSR."""
-        from spgemm_tpu.ops.esc import esc_scan_trim
+        """run() + trim to the final CSR. With the device combine on
+        (default), the sibling-row reduction happens on device and the
+        download is ~4*nnzC bytes; SPGEMM_DEVICE_COMBINE=0 falls back to
+        the host reduceat over the full product-row planes."""
+        from spgemm_tpu.ops import esc as _esc
 
+        if _esc.DEVICE_COMBINE:
+            out = self.run()
+            res, tail = _esc._combine_apply(self.plan, out)
+            jax.block_until_ready(res)
+            return _esc.esc_scan_trim_combined(self.plan, res, tail)
         out = self.run()
         jax.block_until_ready(out)
-        return esc_scan_trim(self.plan, out)
+        return _esc.esc_scan_trim(self.plan, out)
 
     def update_values(self, a_data: np.ndarray, b_data: np.ndarray):
         """Pattern-fixed value refresh: native fused gather(+multiply)

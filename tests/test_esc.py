@@ -386,3 +386,80 @@ def test_meta16_matches_meta32():
     got = golden.drop_explicit_zeros(esc_scan_trim(plan, out16))
     assert got.pattern_equal(ref)
     assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+
+
+def test_device_combine_matches_host_trim():
+    """The device-side window combine (class row-gathers + reshape-sums,
+    tall-window tail finished on host) must reproduce the host reduceat
+    trim, including plans with group_rows>1 and windows taller than
+    COMBINE_K rows."""
+    from spgemm_tpu.ops.esc import (COMBINE_K, build_esc_scan_plan,
+                                    esc_scan_numeric,
+                                    esc_scan_numeric_combined,
+                                    esc_scan_trim, esc_scan_trim_combined)
+
+    rng = np.random.default_rng(91)
+    # dup-heavy: a dense-ish band gives windows tens of rows tall (and
+    # with group_rows=1 some exceed COMBINE_K -> tail path)
+    n = 512
+    offs = np.arange(-40, 41)
+    r = np.repeat(np.arange(n), offs.size)
+    c = r + np.tile(offs, n)
+    keep = (c >= 0) & (c < n)
+    a = CSR.from_coo(r[keep], c[keep],
+                     rng.standard_normal(int(keep.sum())), (n, n))
+    for g in (1, 4):
+        plan = build_esc_scan_plan(a, a, group_rows=g)
+        wr = np.diff(plan.win_rowptr) // g
+        if g == 1:
+            assert (wr > COMBINE_K).any()  # the tail path is exercised
+        c_host = esc_scan_trim(plan, esc_scan_numeric(plan))
+        res, tail = esc_scan_numeric_combined(plan)
+        c_dev = esc_scan_trim_combined(plan, res, tail)
+        assert c_dev.pattern_equal(c_host)
+        np.testing.assert_allclose(c_dev.data, c_host.data,
+                                   rtol=1e-5, atol=1e-7)
+        ref = golden.spgemm_scipy(a, a)
+        got = golden.drop_explicit_zeros(c_dev)
+        assert got.pattern_equal(ref)
+        np.testing.assert_allclose(got.data, ref.data, rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_device_combine_unstructured_and_executor():
+    from spgemm_tpu.ops.esc import spgemm_esc
+    from spgemm_tpu.ops.executor import EscExecutor
+    from spgemm_tpu.ops.esc import build_esc_scan_plan
+
+    a = rand_csr(300, 300, 3600, seed=92)
+    c, _, plan = spgemm_esc(a, a)  # combined path is the default
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    assert np.allclose(got.data, ref.data, rtol=1e-4, atol=1e-6)
+    ex = EscExecutor(build_esc_scan_plan(a, a))
+    got2 = golden.drop_explicit_zeros(ex.run_csr())
+    assert got2.pattern_equal(ref)
+    assert np.allclose(got2.data, ref.data, rtol=1e-4, atol=1e-6)
+
+
+def test_device_combine_dd_exactness():
+    """The compensated DD combine must preserve the double-double error
+    bound: exact on the integer value model, through tall windows."""
+    from spgemm_tpu.ops.esc import (COMBINE_K, build_esc_scan_plan,
+                                    esc_scan_dd)
+
+    n = 384
+    offs = np.arange(-40, 41)
+    r = np.repeat(np.arange(n), offs.size)
+    cc = r + np.tile(offs, n)
+    keep = (cc >= 0) & (cc < n)
+    vals = ((r[keep] * 7 + cc[keep] * 13) % 9 + 1).astype(np.float64)
+    a = CSR.from_coo(r[keep], cc[keep], vals, (n, n))
+    plan = build_esc_scan_plan(a, a, keep_sources=True)
+    assert (np.diff(plan.win_rowptr) > COMBINE_K).any()
+    c = esc_scan_dd(plan, a.data, a.data)  # device combine on by default
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_array_equal(got.data, ref.data)  # EXACT
