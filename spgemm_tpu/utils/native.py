@@ -340,9 +340,16 @@ def pool_array(shape, dtype, *, zero: bool = False, fill=None):
 def pool_prewarm(nbytes: int, parts: int = 4) -> None:
     """Fault in ~nbytes of pool memory up front (startup arena
     provisioning — the one-time ~11 s/GB host-backing cost happens here
-    instead of inside the first plan build)."""
-    held = [pool_array((nbytes // parts,), np.uint8, zero=True)
-            for _ in range(parts)]
+    instead of inside the first plan build).
+
+    Part sizes are powers of two so each request exactly matches its
+    buffer's capacity: pool_array rounds capacity up to a power of two,
+    and a non-pow2 request would leave the buffer's tail unprovisioned —
+    a later bigger request reusing that buffer would then fault the tail
+    at first-touch speed mid-build (measured: ~0.5 GB tails cost seconds
+    at rmat65536 scale)."""
+    per = 1 << max(20, (max(nbytes // parts, 1) - 1).bit_length())
+    held = [pool_array((per,), np.uint8, zero=True) for _ in range(parts)]
     del held
 
 
