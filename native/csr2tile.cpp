@@ -518,13 +518,19 @@ struct ScanRecS { uint32_t dl; float pv; int32_t p, q; };
 template <typename Rec>
 inline void radix_by_dl(std::vector<Rec>& a, std::vector<Rec>& b,
                         int64_t cnt_rows, int64_t f) {
-  // LSD radix by local dest, 12-bit digits (one pass covers cnt <= 4096), stable (preserves A-order
-  // within a run — the layout contract the NumPy fallback's stable
-  // argsort also provides). cnt_rows bounds the key range.
-  constexpr int DB = 12;
-  constexpr int64_t NB = (int64_t)1 << DB;
+  // LSD radix by local dest, stable (preserves A-order within a run —
+  // the layout contract the NumPy fallback's stable argsort also
+  // provides). Digit width adapts to the key range: 12-bit when one
+  // pass covers cnt <= 4096, else 16-bit so a single pass still covers
+  // cnt <= 65536 (73% of rmat65536's products flow through here — the
+  // second 12-bit pass was a full extra read+scatter over them; a
+  // 16-bit histogram is 512 KB, L2-resident, and only its used prefix
+  // is cleared).
+  int DB = 12;
+  if ((cnt_rows - 1) >> DB) DB = 16;
+  const int64_t NB = (int64_t)1 << DB;
   static thread_local std::vector<int64_t> hist;
-  hist.resize(NB);
+  if ((int64_t)hist.size() < NB) hist.resize(NB);
   int shift = 0;
   Rec* src = a.data();
   Rec* dst = b.data();
@@ -720,23 +726,26 @@ int64_t esc_scan_build(
         perm[fs] = (uint32_t)s;
       }
     }
-    // 3. window layout + run-start marks (dests globally monotone)
+    // 3. window layout (dests globally monotone). The run-start /
+    // row-continuation meta marks are NOT written here: step 4 visits
+    // every product position in run order anyway, so it emits them at
+    // orel==0 and at row crossings — one monotone pass over the meta
+    // region instead of two (hub-row regions exceed L2, so a separate
+    // marking pass re-streamed the whole plane).
     for (int64_t t = 0; t < cnt; ++t) {
       const int64_t d = base + t;
       close_windows_until(d >> 7);
       const int64_t off = rows_alloc * 128 + win_used;
       off_loc[t] = off;
       const int64_t dp = sdup[t];
-      const int32_t lane_s = (int32_t)(d & 127);
       const int64_t r0 = off >> 7;
       const int64_t r1 = (off + dp - 1) >> 7;
       ensure_rows(r1 + 1);
-      meta[r0 * 128 + lane_s] |= ((int32_t)(off & 127) << 7) | (1 << 14);
       const int64_t run0 = std::min<int64_t>(dp, 128 - (off & 127));
       if (run0 > max_run) max_run = run0;
-      for (int64_t r = r0 + 1; r <= r1; ++r) {
-        meta[r * 128 + lane_s] |= (1 << 14);
-        const int64_t rem = off + dp - r * 128;
+      if (r1 > r0) {
+        // continuation-row runs shrink monotonically; r0+1's is longest
+        const int64_t rem = off + dp - (r0 + 1) * 128;
         const int64_t runr = std::min<int64_t>(rem, 128);
         if (runr > max_run) max_run = runr;
       }
@@ -754,6 +763,11 @@ int64_t esc_scan_build(
               sdup[dl] - 1 - orel, 127 - (pos & 127));
           qv[pos] = recs[x].pv;
           meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
+          if (orel == 0)
+            meta[pos - (pos & 127) + ((base + dl) & 127)] |=
+                ((int32_t)(pos & 127) << 7) | (1 << 14);
+          else if ((pos & 127) == 0)
+            meta[pos + ((base + dl) & 127)] |= (1 << 14);
         }
       } else {
         for (int64_t x = 0; x < f_row; ++x) {
@@ -764,6 +778,11 @@ int64_t esc_scan_build(
               sdup[dl] - 1 - orel, 127 - (pos & 127));
           qv[pos] = srecs[x].pv;
           meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
+          if (orel == 0)
+            meta[pos - (pos & 127) + ((base + dl) & 127)] |=
+                ((int32_t)(pos & 127) << 7) | (1 << 14);
+          else if ((pos & 127) == 0)
+            meta[pos + ((base + dl) & 127)] |= (1 << 14);
           asrc[pos] = srecs[x].p;
           bsrc[pos] = srecs[x].q;
         }
@@ -784,6 +803,11 @@ int64_t esc_scan_build(
             sdup[dl] - 1 - orel, 127 - (pos & 127));
         qv[pos] = recs[y].pv;
         meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
+        if (orel == 0)
+          meta[pos - (pos & 127) + ((base + dl) & 127)] |=
+              ((int32_t)(pos & 127) << 7) | (1 << 14);
+        else if ((pos & 127) == 0)
+          meta[pos + ((base + dl) & 127)] |= (1 << 14);
         ++pos;
         ++orel;
       }
@@ -803,6 +827,11 @@ int64_t esc_scan_build(
             sdup[dl] - 1 - orel, 127 - (pos & 127));
         qv[pos] = srecs[y].pv;
         meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
+        if (orel == 0)
+          meta[pos - (pos & 127) + ((base + dl) & 127)] |=
+              ((int32_t)(pos & 127) << 7) | (1 << 14);
+        else if ((pos & 127) == 0)
+          meta[pos + ((base + dl) & 127)] |= (1 << 14);
         asrc[pos] = srecs[y].p;
         bsrc[pos] = srecs[y].q;
         ++pos;
