@@ -974,29 +974,37 @@ def _combine_layout(plan: ScanPlan):
             rows.append(r)
         tail_idx = np.concatenate(rows).astype(np.int32)
         perm[tsel] = base  # points at the appended zero row of cat
-    layout = (classes, perm.astype(np.int32), tsel, tail_idx, tail_ptr)
+    # sentinel rows resolve to the appended zero row at index R_out
+    r_out = plan.qv.shape[0] // g
+    sent = np.where(tail_idx < 0, r_out, tail_idx).astype(np.int32)
+    # device-resident index arrays, uploaded ONCE per plan: inlining
+    # them as trace-time constants would bloat the HLO with hundred-MB
+    # literals, and eager re-upload per call would pay the tunnel every
+    # run
+    dev_idx = tuple(jnp.asarray(idx) for _, idx in classes)
+    dev_perm = jnp.asarray(perm.astype(np.int32))
+    dev_sent = jnp.asarray(sent) if tail_idx.size else None
+    layout = (classes, dev_idx, dev_perm, dev_sent, tsel, tail_ptr)
     plan._combine_cache = layout
     return layout
 
 
 def _combine_apply(plan: ScanPlan, out):
-    """Jittable: (R/G, 128) kernel output -> ((n_win, 128) window sums
-    with tall windows zeroed, (n_tail_chunks, 128) tail partials)."""
-    classes, perm, tsel, tail_idx, _ = _combine_layout(plan)
+    """(R/G, 128) kernel output -> ((n_win, 128) window sums with tall
+    windows zeroed, (n_tail_chunks, 128) tail partials). Plain eager
+    XLA ops (row gathers + reshape-sums) over plan-resident indices."""
+    classes, dev_idx, dev_perm, dev_sent, _, _ = _combine_layout(plan)
     zero = jnp.zeros((1, out.shape[1]), out.dtype)
     parts = [
-        jnp.take(out, jnp.asarray(idx), axis=0)
-        .reshape(-1, k, out.shape[1]).sum(axis=1)
-        for k, idx in classes
+        jnp.take(out, ii, axis=0).reshape(-1, k, out.shape[1]).sum(axis=1)
+        for (k, _), ii in zip(classes, dev_idx)
     ]
     cat = jnp.concatenate(parts + [zero], axis=0)
-    res = jnp.take(cat, jnp.asarray(perm), axis=0)
+    res = jnp.take(cat, dev_perm, axis=0)
     tail = None
-    if tail_idx.size:
+    if dev_sent is not None:
         outz = jnp.concatenate([out, zero], axis=0)
-        sent = jnp.asarray(np.where(tail_idx < 0, out.shape[0],
-                                    tail_idx).astype(np.int32))
-        tail = (jnp.take(outz, sent, axis=0)
+        tail = (jnp.take(outz, dev_sent, axis=0)
                 .reshape(-1, COMBINE_K, out.shape[1]).sum(axis=1))
     return res, tail
 
@@ -1006,7 +1014,7 @@ def _combine_apply_dd(plan: ScanPlan, s, e):
     rows are reduced with the same branch-free 2Sum the kernel uses, so
     the ~2^-48 error bound survives the window reduction (a plain f32
     sum here would throw away the compensation)."""
-    classes, perm, tsel, tail_idx, _ = _combine_layout(plan)
+    classes, dev_idx, dev_perm, dev_sent, _, _ = _combine_layout(plan)
     wn = s.shape[1]
     zero = jnp.zeros((1, wn), s.dtype)
 
@@ -1022,24 +1030,23 @@ def _combine_apply_dd(plan: ScanPlan, s, e):
         return sa, ea
 
     parts_s, parts_e = [], []
-    for k, idx in classes:
-        ii = jnp.asarray(idx)
+    for (k, _), ii in zip(classes, dev_idx):
         sa, ea = red(jnp.take(s, ii, axis=0).reshape(-1, k, wn),
                      jnp.take(e, ii, axis=0).reshape(-1, k, wn))
         parts_s.append(sa)
         parts_e.append(ea)
     cat_s = jnp.concatenate(parts_s + [zero], axis=0)
     cat_e = jnp.concatenate(parts_e + [zero], axis=0)
-    pp = jnp.asarray(perm)
-    res = (jnp.take(cat_s, pp, axis=0), jnp.take(cat_e, pp, axis=0))
+    res = (jnp.take(cat_s, dev_perm, axis=0),
+           jnp.take(cat_e, dev_perm, axis=0))
     tail = None
-    if tail_idx.size:
-        sent = jnp.asarray(np.where(tail_idx < 0, s.shape[0],
-                                    tail_idx).astype(np.int32))
+    if dev_sent is not None:
         sz = jnp.concatenate([s, zero], axis=0)
         ez = jnp.concatenate([e, zero], axis=0)
-        tail = red(jnp.take(sz, sent, axis=0).reshape(-1, COMBINE_K, wn),
-                   jnp.take(ez, sent, axis=0).reshape(-1, COMBINE_K, wn))
+        tail = red(jnp.take(sz, dev_sent, axis=0)
+                   .reshape(-1, COMBINE_K, wn),
+                   jnp.take(ez, dev_sent, axis=0)
+                   .reshape(-1, COMBINE_K, wn))
     return res, tail
 
 
@@ -1050,7 +1057,7 @@ def esc_scan_trim_combined_dd(plan: ScanPlan, res, tail) -> CSR:
     if plan.nnz_c:
         arr = (np.asarray(res[0], np.float64)
                + np.asarray(res[1], np.float64))
-        _, _, tsel, _, tail_ptr = _combine_layout(plan)
+        _, _, _, _, tsel, tail_ptr = _combine_layout(plan)
         if tsel.size:
             tp = (np.asarray(tail[0], np.float64)
                   + np.asarray(tail[1], np.float64))
@@ -1063,21 +1070,19 @@ def esc_scan_trim_combined_dd(plan: ScanPlan, res, tail) -> CSR:
 def esc_scan_numeric_combined(plan: ScanPlan, dev=None, *,
                               sync: bool = True,
                               interpret: bool | None = None):
-    """Scan kernel + device-side window combine in one jitted dispatch.
+    """Scan kernel + device-side window combine. The combine runs as
+    eager (async-dispatched) XLA ops over plan-resident index arrays —
+    wrapping it in a jit would either inline those indices as
+    hundred-MB HLO literals or force a retrace per call.
     Returns (res, tail) device arrays for esc_scan_trim_combined."""
     if dev is None:
         dev = plan.device_arrays()
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-
-    @functools.partial(jax.jit, static_argnames=())
-    def fused(qv, meta):
-        out = esc_scan_pallas(qv, meta, passes=plan.passes,
-                              group_rows=plan.group_rows,
-                              interpret=interpret)
-        return _combine_apply(plan, out)
-
-    res, tail = fused(dev["qv"], dev["meta"])
+    out = esc_scan_pallas(dev["qv"], dev["meta"], passes=plan.passes,
+                          group_rows=plan.group_rows,
+                          interpret=interpret)
+    res, tail = _combine_apply(plan, out)
     if sync:
         jax.block_until_ready(res)
     return res, tail
@@ -1089,7 +1094,7 @@ def esc_scan_trim_combined(plan: ScanPlan, res, tail) -> CSR:
     c_val = np.zeros(plan.nnz_c, np.float64)
     if plan.nnz_c:
         arr = np.asarray(res, np.float64)
-        _, _, tsel, _, tail_ptr = _combine_layout(plan)
+        _, _, _, _, tsel, tail_ptr = _combine_layout(plan)
         if tsel.size:
             tp = np.asarray(tail, np.float64)
             arr[tsel] = np.add.reduceat(tp, tail_ptr[:-1], axis=0)
