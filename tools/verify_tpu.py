@@ -175,5 +175,34 @@ oke = np.allclose(ce.to_dense(), ard @ ard, rtol=1e-4, atol=1e-6)
 print(f"dist esc (mesh=1) ok= {oke}")
 fails += not oke
 
+# r3: device combine tail path (windows taller than COMBINE_K rows) and
+# meta16-vs-meta32 kernel identity, both on hardware
+from spgemm_tpu.ops.esc import (COMBINE_K, esc_scan_pallas, meta16_plane,
+                                esc_scan_numeric_combined,
+                                esc_scan_trim_combined)
+bn = 384
+boffs = np.arange(-40, 41)
+br = np.repeat(np.arange(bn), boffs.size)
+bc = br + np.tile(boffs, bn)
+bkeep = (bc >= 0) & (bc < bn)
+bval = ((br[bkeep] * 7 + bc[bkeep] * 13) % 9 + 1).astype(np.float64)
+bdup = CSR.from_coo(br[bkeep], bc[bkeep], bval, (bn, bn))
+pdup = build_esc_scan_plan(bdup, bdup)
+assert (np.diff(pdup.win_rowptr) > COMBINE_K).any()
+rr, tt = esc_scan_numeric_combined(pdup, interpret=False)
+cdup = esc_scan_trim_combined(pdup, rr, tt)
+okc = np.array_equal(cdup.to_dense(), bdup.to_dense() @ bdup.to_dense())
+print(f"device combine (tall windows) exact ok={okc}")
+fails += not okc
+import jax.numpy as _jnp
+o32 = esc_scan_pallas(_jnp.asarray(pdup.qv), _jnp.asarray(pdup.meta),
+                      passes=pdup.passes, interpret=False)
+o16 = esc_scan_pallas(_jnp.asarray(pdup.qv),
+                      _jnp.asarray(meta16_plane(pdup.meta)),
+                      passes=pdup.passes, interpret=False)
+okm = np.array_equal(np.asarray(o32), np.asarray(o16))
+print(f"meta16 == meta32 kernel output ok={okm}")
+fails += not okm
+
 print("FAILS:", fails)
 sys.exit(1 if fails else 0)
