@@ -370,9 +370,18 @@ META16 = os.environ.get("SPGEMM_META16", "1") != "0"
 DEVICE_COMBINE = os.environ.get("SPGEMM_DEVICE_COMBINE", "1") != "0"
 
 
-def meta16_plane(meta: np.ndarray) -> np.ndarray:
-    """Compress the int32 meta plane to the kernels' int16 form."""
-    return ((meta >> 7) & 0x7FFF).astype(np.int16)
+def meta16_plane(meta: np.ndarray, cache_on=None) -> np.ndarray:
+    """Compress the int32 meta plane to the kernels' int16 form.
+    With cache_on (a ScanPlan), the converted plane is memoized — the
+    shift+mask pass over an rmat-scale plane costs ~0.5 s."""
+    if cache_on is not None:
+        cached = getattr(cache_on, "_meta16_cache", None)
+        if cached is not None and cached.shape == meta.shape:
+            return cached
+    m16 = ((meta >> 7) & 0x7FFF).astype(np.int16)
+    if cache_on is not None:
+        cache_on._meta16_cache = m16
+    return m16
 
 
 def _meta_fields(mt):
@@ -414,7 +423,7 @@ class ScanPlan:
     symbolic_ms: float = 0.0
 
     def device_arrays(self):
-        mt = meta16_plane(self.meta) if META16 else self.meta
+        mt = meta16_plane(self.meta, cache_on=self) if META16 else self.meta
         return dict(
             qv=jnp.asarray(self.qv),
             meta=jnp.asarray(mt),
@@ -841,7 +850,7 @@ def esc_scan_dd(plan: ScanPlan, a_data: np.ndarray, b_data: np.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hi, lo = scan_dd_planes(plan, a_data, b_data)
-    mt = meta16_plane(plan.meta) if META16 else plan.meta
+    mt = meta16_plane(plan.meta, cache_on=plan) if META16 else plan.meta
     arrs = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(mt))
     if device is not None:
         arrs = jax.device_put(arrs, device)
@@ -871,7 +880,7 @@ def time_esc_scan_dd(plan: ScanPlan, a_data, b_data, *, loop: int = 20,
     hi, lo = scan_dd_planes(plan, a_data, b_data)
     qh = jax.device_put(jnp.asarray(hi))
     ql = jax.device_put(jnp.asarray(lo))
-    mt = meta16_plane(plan.meta) if META16 else plan.meta
+    mt = meta16_plane(plan.meta, cache_on=plan) if META16 else plan.meta
     meta = jax.device_put(jnp.asarray(mt))
     jax.block_until_ready((qh, ql, meta))
 

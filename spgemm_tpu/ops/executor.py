@@ -199,7 +199,8 @@ class EscExecutor:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
         from spgemm_tpu.ops import esc as _esc
-        mt = _esc.meta16_plane(plan.meta) if _esc.META16 else plan.meta
+        mt = _esc.meta16_plane(plan.meta, cache_on=plan) if _esc.META16 \
+            else plan.meta
         self._meta = self._put(jnp.asarray(mt))
         if mode == "premul":
             self._vals = (self._put(jnp.asarray(plan.qv)),)

@@ -853,7 +853,7 @@ def spgemm_sharded_esc(a_csr, b_csr, mesh: Mesh, *, plan=None):
                            rows_per_win)
     new_rows = new_start[win_of_row] + (old_rows - wr[win_of_row])
     from spgemm_tpu.ops.esc import META16, meta16_plane
-    src_meta = meta16_plane(plan.meta) if META16 else plan.meta
+    src_meta = meta16_plane(plan.meta, cache_on=plan) if META16 else plan.meta
     qv = np.zeros((r_pad, 128), np.float32)
     meta = np.zeros((r_pad, 128), src_meta.dtype)
     qv[new_rows] = plan.qv[: old_rows.size]
