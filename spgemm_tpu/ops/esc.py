@@ -25,7 +25,8 @@ only through operations the hardware is fast at:
     128-slot window's products by destination into (R, 128) lane rows;
     the kernel runs a log-doubling segmented suffix-scan along lanes
     (exact f32 VPU adds) and extracts each run's sum with the hardware
-    dynamic_gather. 8 bytes of HBM traffic per product; measured ~80%
+    dynamic_gather. 6 bytes of HBM traffic per product (f32 value +
+    int16 meta); measured ~80%
     of v5e HBM bandwidth. A double-double variant (f32 hi/lo planes +
     branch-free 2Sum) delivers f64-accurate results on f32 hardware.
 
@@ -664,7 +665,8 @@ def esc_scan_pallas(qv, meta, *, passes: int = 7,
     """The scan kernel: log-doubling segmented suffix-scan along lanes
     (equal adjacent slots = one run, rows sorted by host); one
     dynamic_gather (take_along_axis axis=1) pulls each run's total to
-    its slot lane. 8 bytes of HBM traffic per product, pure f32 adds."""
+    its slot lane. 6 bytes of HBM traffic per product (f32 value +
+    int16 meta), pure f32 adds."""
     from jax.experimental.pallas import tpu as pltpu
 
     r, wn = qv.shape
@@ -713,8 +715,8 @@ def esc_scan_mul_pallas(av, bv, meta, *, passes: int = 7,
                         interpret: bool = False):
     """In-kernel-multiply scan variant: operands arrive as separate
     (av, bv) f32 planes and the kernel computes q = av * bv before the
-    segmented suffix-scan. 12 B/product HBM traffic vs the premultiplied
-    kernel's 8 — the production path stays premultiplied (less traffic
+    segmented suffix-scan. 10 B/product HBM traffic vs the premultiplied
+    kernel's 6 — the production path stays premultiplied (less traffic
     AND a tighter f64-rounded-once product) — but here the device
     performs the actual multiplies, so timing THIS kernel gives a
     device-GFLOPS number with the same accounting as the strip/reference

@@ -176,8 +176,9 @@ class EscExecutor:
     re-uploads it, so a pattern-fixed rerun is one upload + one dispatch.
 
     mode="premul" (production): the device holds the host-premultiplied
-    qv plane — 8 B/product HBM traffic, product rounded once from f64.
-    mode="mul": separate (av, bv) planes multiplied in-kernel — 12
+    qv plane — 6 B/product HBM traffic (f32 value + int16 meta),
+    product rounded once from f64.
+    mode="mul": separate (av, bv) planes multiplied in-kernel — 10
     B/product, but the device performs the multiplies, giving a
     device-GFLOPS accounting comparable with the strip/reference
     numeric kernels (VERDICT r2 weak #2).
