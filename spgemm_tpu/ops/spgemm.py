@@ -537,6 +537,13 @@ def spgemm_csr(
     """
     backend = kw.get("backend", "auto")
     if backend == "auto":
+        f64 = jnp.dtype(kw.get("compute_dtype", jnp.float32)) \
+            == jnp.dtype(jnp.float64)
+        if f64 and not jax.config.jax_enable_x64:
+            # the double-double scan engine IS the f64 path on f32-only
+            # hardware (any structure) — without it, the tiled backends
+            # would raise for lack of x64
+            return _spgemm_csr_esc(a, b, aat=aat, **kw)
         occ = tile_occupancy_estimate(a, tm, tn)
         if occ < ESC_OCCUPANCY_TH or (
             occ < ESC_STRUCTURED_OCC_TH

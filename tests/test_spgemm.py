@@ -222,3 +222,28 @@ def test_auto_routes_low_reuse_to_esc():
     assert res2.stats["backend"] != "esc"
     ref2 = golden.spgemm_scipy(bn, bn)
     assert golden.drop_explicit_zeros(c2).allclose(ref2, rtol=1e-5)
+
+
+def test_f64_auto_routes_to_dd_without_x64():
+    """spgemm_csr(compute_dtype=f64) on a STRUCTURED matrix must route
+    auto to the double-double scan engine when x64 is off (the tiled
+    backends have no f64 hardware path), instead of raising."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from spgemm_tpu.utils.generators import banded
+
+    rng = np.random.default_rng(3)
+    a = banded(rng, 1024, 64)
+    a = type(a)(a.indptr, a.indices,
+                ((np.arange(a.nnz) % 9) + 1).astype(np.float64), a.shape)
+    _jax.config.update("jax_enable_x64", False)  # conftest turns it on
+    try:
+        c, res = spgemm_csr(a, compute_dtype=_jnp.float64, backend="auto")
+    finally:
+        _jax.config.update("jax_enable_x64", True)
+    assert res.stats["backend"] == "esc"
+    ref = golden.spgemm_scipy(a, a)
+    got = golden.drop_explicit_zeros(c)
+    assert got.pattern_equal(ref)
+    np.testing.assert_array_equal(got.data, ref.data)

@@ -119,6 +119,21 @@ except ValueError as e:
 cdd0, rdd0 = spgemm_csr(ar, compute_dtype=jnp.float64, backend="esc")
 okdd0 = np.allclose(cdd0.to_dense(), ard @ ard, rtol=1e-12, atol=1e-12)
 print(f"fp64 via esc double-double (no x64) ok={okdd0}")
+
+# r3: f64 through backend="auto" on a STRUCTURED matrix must route to
+# the double-double engine (no x64 on hardware), not raise
+sr = np.repeat(np.arange(512), 65)
+sc = sr + np.tile(np.arange(-32, 33), 512)
+sk = (sc >= 0) & (sc < 512)
+astr = CSR.from_coo(sr[sk], sc[sk],
+                    ((sr[sk] * 3 + sc[sk]) % 9 + 1).astype(np.float64),
+                    (512, 512))
+cda, rda = spgemm_csr(astr, compute_dtype=jnp.float64, backend="auto")
+okda = (rda.stats["backend"] == "esc"
+        and np.array_equal(cda.to_dense(),
+                           astr.to_dense() @ astr.to_dense()))
+print(f"fp64 auto->esc structured ok={okda}")
+fails += not okda
 fails += not okdd0
 
 # SpMM strip kernel on hardware
