@@ -159,22 +159,27 @@ def main():
     # for the full-size figure: 36.8 f64-GFLOPS at cant scale).
     f64_gflops = None
     if os.environ.get("BENCH_F64", "1") != "0":
-        from spgemm_tpu.models.csr import CSR
-        from spgemm_tpu.ops.esc import (build_esc_scan_plan,
-                                        time_esc_scan_dd)
+        # fail-soft: the headline JSON line must print even if the f64
+        # side row hits a kernel/runtime issue (BENCH_F64=0 skips)
+        try:
+            from spgemm_tpu.models.csr import CSR
+            from spgemm_tpu.ops.esc import (build_esc_scan_plan,
+                                            time_esc_scan_dd)
 
-        rng = np.random.default_rng(7)
-        nf = 8192
-        af = CSR.from_coo(
-            rng.integers(0, nf, nf * 16), rng.integers(0, nf, nf * 16),
-            rng.integers(1, 10, nf * 16).astype(np.float64), (nf, nf))
-        pf = build_esc_scan_plan(af, af)
-        f64_ms, _ = time_esc_scan_dd(pf, af.data, af.data,
-                                     loop=50, repeats=3)
-        f64_gflops = 2.0 * pf.num_products / (f64_ms * 1e6)
-        print(f"# f64 (double-double scan, random8192): {f64_ms:.3f} ms "
-              f"= {f64_gflops:.1f} f64-GFLOPS (reference computes f64 "
-              "throughout)", file=sys.stderr)
+            rng = np.random.default_rng(7)
+            nf = 8192
+            af = CSR.from_coo(
+                rng.integers(0, nf, nf * 16), rng.integers(0, nf, nf * 16),
+                rng.integers(1, 10, nf * 16).astype(np.float64), (nf, nf))
+            pf = build_esc_scan_plan(af, af)
+            f64_ms, _ = time_esc_scan_dd(pf, af.data, af.data,
+                                         loop=50, repeats=3)
+            f64_gflops = 2.0 * pf.num_products / (f64_ms * 1e6)
+            print(f"# f64 (double-double scan, random8192): {f64_ms:.3f} ms "
+                  f"= {f64_gflops:.1f} f64-GFLOPS (reference computes f64 "
+                  "throughout)", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            print(f"# f64 row skipped: {str(ex)[:200]}", file=sys.stderr)
 
     out = {
         "metric": "spgemm_cantlike_gflops",
