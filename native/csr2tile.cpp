@@ -20,6 +20,10 @@
 #include <omp.h>
 #endif
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // Phase A: count non-empty tiles per tile-row. Writes tptr (gm+1,
@@ -501,59 +505,85 @@ void esc_fill(
 // .py round 2 -> 3): random 4 B writes ~7 M/s (49 M/s with hugepages),
 // sequential streams ~10 GB/s, and FIRST-TOUCH of new memory is backed
 // by the virtualized host at only ~90 MB/s — so the build is ONE fused
-// pass that (a) walks the F products exactly once, (b) keeps every
-// O(flops) write sequential (per-row LSD radix for heavy rows), and
-// (c) touches the minimum footprint (no per-product dest stream, no
-// global dup/perm arrays — all row-local scratch). Window layout is
-// computed incrementally: dests are enumerated strictly monotonically,
-// so win_rowptr is a running state, not a separate pass.
-// rmat65536 (399 M products): 116 s (round 2) -> ~5 s warm.
+// pass that (a) walks the F products exactly once, (b) writes each
+// plane position exactly once through a cache-resident interleaved
+// assembly arena flushed with non-temporal stores (no plane memset, no
+// write-allocate reads, no read-modify-write to DRAM), and (c) touches
+// the minimum footprint (no per-product dest stream, no global
+// dup/perm arrays — all row-local scratch). Window layout is computed
+// incrementally: dests are enumerated strictly monotonically, so
+// win_rowptr is a running state, not a separate pass.
+// rmat65536 (399 M products), warm pool, keep_sources=True: 116 s
+// (round 2) -> 9.2 s (radix fill) -> 7.6 s (this arena fill, 53 M
+// prod/s; 6.0 s / 67 M prod/s without source maps). Cold first build
+// after prewarm also improves, 75 s -> 49 s (arena vectors are the
+// only remaining first-touch surface).
 
-}  // extern "C" — the radix helper below is a template
+}  // extern "C" — the helpers below are templates / overloads
 
 namespace {
 struct ScanRec { uint32_t dl; float pv; };
 struct ScanRecS { uint32_t dl; float pv; int32_t p, q; };
+// Interleaved plane cells: one random 8/16 B write per product lands
+// qv+meta (+asrc/bsrc) together in one cache line, and the flush
+// de-interleaves them into the output planes as pure sequential
+// streams. The planes themselves are never memset and never read.
+struct Cell { float pv; int32_t mt; };
+struct CellS { float pv; int32_t mt; int32_t p, q; };
 
-template <typename Rec>
-inline void radix_by_dl(std::vector<Rec>& a, std::vector<Rec>& b,
-                        int64_t cnt_rows, int64_t f) {
-  // LSD radix by local dest, stable (preserves A-order within a run —
-  // the layout contract the NumPy fallback's stable argsort also
-  // provides). Digit width adapts to the key range: 12-bit when one
-  // pass covers cnt <= 4096, else 16-bit so a single pass still covers
-  // cnt <= 65536 (73% of rmat65536's products flow through here — the
-  // second 12-bit pass was a full extra read+scatter over them; a
-  // 16-bit histogram is 512 KB, L2-resident, and only its used prefix
-  // is cleared).
-  int DB = 12;
-  if ((cnt_rows - 1) >> DB) DB = 16;
-  const int64_t NB = (int64_t)1 << DB;
-  static thread_local std::vector<int64_t> hist;
-  if ((int64_t)hist.size() < NB) hist.resize(NB);
-  int shift = 0;
-  Rec* src = a.data();
-  Rec* dst = b.data();
-  bool in_a = true;
-  while ((cnt_rows - 1) >> shift) {
-    const int64_t used = std::min<int64_t>(
-        NB, ((cnt_rows - 1) >> shift) + 1);
-    std::fill(hist.begin(), hist.begin() + used, 0);
-    for (int64_t x = 0; x < f; ++x)
-      ++hist[(src[x].dl >> shift) & (NB - 1)];
-    int64_t run = 0;
-    for (int64_t h = 0; h < used; ++h) {
-      const int64_t c = hist[h];
-      hist[h] = run;
-      run += c;
+// De-interleave `nrows` 128-lane rows of cells into the output planes.
+// Non-temporal stores: the planes are written exactly once and not
+// read again on the host, so skipping the write-allocate read halves
+// the DRAM traffic of this pass.
+inline void flush_rows(const Cell* src, int64_t nrows,
+                       float* qv, int32_t* mt) {
+#if defined(__SSE2__)
+  if (!(((uintptr_t)qv | (uintptr_t)mt) & 15)) {
+    const int64_t cnt = nrows * 128;
+    for (int64_t i = 0; i < cnt; i += 4) {
+      const __m128 a = _mm_load_ps((const float*)(src + i));      // p0 m0 p1 m1
+      const __m128 b = _mm_load_ps((const float*)(src + i + 2));  // p2 m2 p3 m3
+      _mm_stream_ps(qv + i, _mm_shuffle_ps(a, b, 0x88));
+      _mm_stream_si128((__m128i*)(mt + i),
+                       _mm_castps_si128(_mm_shuffle_ps(a, b, 0xDD)));
     }
-    for (int64_t x = 0; x < f; ++x)
-      dst[hist[(src[x].dl >> shift) & (NB - 1)]++] = src[x];
-    std::swap(src, dst);
-    in_a = !in_a;
-    shift += DB;
+    _mm_sfence();
+    return;
   }
-  if (!in_a) memcpy(a.data(), src, (size_t)f * sizeof(Rec));
+#endif
+  for (int64_t i = 0; i < nrows * 128; ++i) {
+    qv[i] = src[i].pv;
+    mt[i] = src[i].mt;
+  }
+}
+
+inline void flush_rows(const CellS* src, int64_t nrows, float* qv,
+                       int32_t* mt, int32_t* ap, int32_t* bq) {
+#if defined(__SSE2__)
+  if (!(((uintptr_t)qv | (uintptr_t)mt | (uintptr_t)ap |
+         (uintptr_t)bq) & 15)) {
+    const int64_t cnt = nrows * 128;
+    for (int64_t i = 0; i < cnt; i += 4) {
+      __m128 r0 = _mm_load_ps((const float*)(src + i));
+      __m128 r1 = _mm_load_ps((const float*)(src + i + 1));
+      __m128 r2 = _mm_load_ps((const float*)(src + i + 2));
+      __m128 r3 = _mm_load_ps((const float*)(src + i + 3));
+      _MM_TRANSPOSE4_PS(r0, r1, r2, r3);
+      _mm_stream_ps(qv + i, r0);
+      _mm_stream_si128((__m128i*)(mt + i), _mm_castps_si128(r1));
+      _mm_stream_si128((__m128i*)(ap + i), _mm_castps_si128(r2));
+      _mm_stream_si128((__m128i*)(bq + i), _mm_castps_si128(r3));
+    }
+    _mm_sfence();
+    return;
+  }
+#endif
+  for (int64_t i = 0; i < nrows * 128; ++i) {
+    qv[i] = src[i].pv;
+    mt[i] = src[i].mt;
+    ap[i] = src[i].p;
+    bq[i] = src[i].q;
+  }
 }
 }  // namespace
 
@@ -567,12 +597,14 @@ extern "C" {
 //      otherwise) -> c_indices, first-seen->sorted perm, sorted dups;
 //   3. enumerate the row's dests (globally monotone): advance the
 //      incremental window layout (win_rowptr), compute each dest's
-//      padded offset, OR the run-start marks into meta;
-//   4. order the records by sorted local dest (direct cache-resident
-//      scatter for small rows, remap + LSD radix for heavy ones) and
-//      write qv/meta[/asrc/bsrc] at strictly monotone addresses.
-// qv/meta (and asrc/bsrc when want_src) must arrive pre-zeroed
-// (/-1-prefilled) over ceil(F/128) + n_win_ub + SCAN_BLK rows.
+//      padded offset;
+//   4. stable counting scatter: per-dest cursors seeded with the
+//      padded offsets place every product (and its meta marks) in one
+//      write into an interleaved assembly arena; completed plane rows
+//      are de-interleaved into qv/meta[/asrc/bsrc] with NT stores.
+// qv/meta/asrc/bsrc may arrive UNINITIALIZED: every row in
+// [0, r_total) is written exactly once by the arena flush (the caller
+// clears only the [r_total:r_pad) block-padding tail).
 // meta bit layout per lane: 0-6 slot (dest & 127), 7-13 run-start gather
 // lane, 14 slot-present, 15-21 distance to the end of this lane's
 // in-row run — the scan kernels mask each doubling pass with one
@@ -607,9 +639,8 @@ int64_t esc_scan_build(
   std::vector<uint64_t> bits(nwords, 0);
   // bitmap sweep costs ~n/64 word ops; std::sort ~cnt*log2(cnt)
   const int64_t bitmap_thresh = std::max<int64_t>(64, n >> 8);
-  std::vector<ScanRec> recs, recs2;
-  std::vector<ScanRecS> srecs, srecs2;
-  constexpr int64_t DIRECT_MAX = 16384;  // products; region <= 128 KB (L2)
+  std::vector<ScanRec> recs;
+  std::vector<ScanRecS> srecs;
   const bool want = want_src != 0;
 
   int64_t cur_win = 0;     // open window index
@@ -617,29 +648,62 @@ int64_t esc_scan_build(
   int64_t rows_alloc = 0;  // rows of all closed windows
   win_rowptr[0] = 0;
   int64_t max_run = 1;
-  // Incremental zero/fill of the output planes: the caller hands them
-  // over UNINITIALIZED (a pre-zero over the loose nnzC upper bound cost
-  // multi-GB memsets — 40+ s at cant scale through this host's slow
-  // first-touch). Rows are cleared here exactly once, row-granular,
-  // right before first use while the cache is hot.
-  int64_t zrows = 0;  // plane rows cleared so far
-  auto ensure_rows = [&](int64_t r_end) {
-    if (r_end <= zrows) return;
-    const int64_t lo = zrows * 128, cnt = (r_end - zrows) * 128;
-    memset(qv + lo, 0, (size_t)cnt * sizeof(float));
-    memset(meta + lo, 0, (size_t)cnt * sizeof(int32_t));
-    if (want) {
-      memset(asrc + lo, 0xFF, (size_t)cnt * sizeof(int32_t));  // -1
-      memset(bsrc + lo, 0, (size_t)cnt * sizeof(int32_t));
+  // Interleaved assembly arena over plane rows [ar_base, ar_base +
+  // ar_rows): all O(flops) plane writes (random within a C row's
+  // region) land here, then arena_flush streams completed rows out
+  // with NT stores once the global write cursor has passed them. The
+  // output planes never see a memset, a write-allocate read, or an
+  // RMW — at rmat65536 scale that was ~12 GB of DRAM traffic (plus
+  // 40+ s of first-touch on cold pool pages).
+  std::vector<Cell> acell;
+  std::vector<CellS> acells;
+  int64_t ar_base = 0, ar_rows = 0;
+  auto arena_extend = [&](int64_t r_end) {
+    if (r_end <= ar_base + ar_rows) return;
+    const int64_t need = r_end - ar_base;
+    if (!want) {
+      if ((int64_t)acell.size() < need * 128)
+        acell.resize(std::max<int64_t>(need * 128,
+                                       2 * (int64_t)acell.size()));
+      memset(acell.data() + ar_rows * 128, 0,
+             (size_t)(need - ar_rows) * 128 * sizeof(Cell));
+    } else {
+      if ((int64_t)acells.size() < need * 128)
+        acells.resize(std::max<int64_t>(need * 128,
+                                        2 * (int64_t)acells.size()));
+      CellS* c = acells.data() + ar_rows * 128;
+      const int64_t k = (need - ar_rows) * 128;
+      for (int64_t x = 0; x < k; ++x) c[x] = CellS{0.0f, 0, -1, 0};
     }
-    zrows = r_end;
+    ar_rows = need;
+  };
+  auto arena_flush = [&](int64_t r_end) {
+    // flush rows [ar_base, r_end): safe once every later write (runs
+    // are globally monotone; a run's meta marks stay within the run's
+    // own rows) targets rows >= r_end
+    if (r_end <= ar_base) return;
+    const int64_t nr = r_end - ar_base;
+    if (!want) {
+      flush_rows(acell.data(), nr, qv + ar_base * 128,
+                 meta + ar_base * 128);
+      memmove(acell.data(), acell.data() + nr * 128,
+              (size_t)(ar_rows - nr) * 128 * sizeof(Cell));
+    } else {
+      flush_rows(acells.data(), nr, qv + ar_base * 128,
+                 meta + ar_base * 128, asrc + ar_base * 128,
+                 bsrc + ar_base * 128);
+      memmove(acells.data(), acells.data() + nr * 128,
+              (size_t)(ar_rows - nr) * 128 * sizeof(CellS));
+    }
+    ar_base = r_end;
+    ar_rows -= nr;
   };
   auto close_windows_until = [&](int64_t w) {
     while (cur_win < w) {
       int64_t wrows = std::max<int64_t>(1, (win_used + 127) >> 7);
       wrows = (wrows + group_rows - 1) / group_rows * group_rows;
       rows_alloc += wrows;
-      ensure_rows(rows_alloc);
+      arena_extend(rows_alloc);
       win_rowptr[cur_win + 1] = rows_alloc;
       ++cur_win;
       win_used = 0;
@@ -656,9 +720,9 @@ int64_t esc_scan_build(
       fb += b_indptr[k + 1] - b_indptr[k];
     }
     if (!want) {
-      if ((int64_t)recs.size() < fb) { recs.resize(fb); recs2.resize(fb); }
+      if ((int64_t)recs.size() < fb) recs.resize(fb);
     } else {
-      if ((int64_t)srecs.size() < fb) { srecs.resize(fb); srecs2.resize(fb); }
+      if ((int64_t)srecs.size() < fb) srecs.resize(fb);
     }
     // 1. single product walk: collect + record
     int64_t cnt = 0;
@@ -728,10 +792,9 @@ int64_t esc_scan_build(
     }
     // 3. window layout (dests globally monotone). The run-start /
     // row-continuation meta marks are NOT written here: step 4 visits
-    // every product position in run order anyway, so it emits them at
-    // orel==0 and at row crossings — one monotone pass over the meta
-    // region instead of two (hub-row regions exceed L2, so a separate
-    // marking pass re-streamed the whole plane).
+    // every product anyway, so it emits them at orel==0 and at row
+    // crossings — one pass over the (cache-resident) arena instead of
+    // a second walk.
     for (int64_t t = 0; t < cnt; ++t) {
       const int64_t d = base + t;
       close_windows_until(d >> 7);
@@ -740,7 +803,7 @@ int64_t esc_scan_build(
       const int64_t dp = sdup[t];
       const int64_t r0 = off >> 7;
       const int64_t r1 = (off + dp - 1) >> 7;
-      ensure_rows(r1 + 1);
+      arena_extend(r1 + 1);
       const int64_t run0 = std::min<int64_t>(dp, 128 - (off & 127));
       if (run0 > max_run) max_run = run0;
       if (r1 > r0) {
@@ -751,97 +814,55 @@ int64_t esc_scan_build(
       }
       win_used += dp;
     }
-    // 4. order records by sorted local dest; monotone plane writes
-    if (f_row <= DIRECT_MAX) {
-      memset(cursor.data(), 0, (size_t)cnt * sizeof(int64_t));
-      if (!want) {
-        for (int64_t x = 0; x < f_row; ++x) {
-          const uint32_t dl = perm[recs[x].dl];
-          const int64_t orel = cursor[dl]++;
-          const int64_t pos = off_loc[dl] + orel;
-          const int64_t dist = std::min<int64_t>(
-              sdup[dl] - 1 - orel, 127 - (pos & 127));
-          qv[pos] = recs[x].pv;
-          meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
-          if (orel == 0)
-            meta[pos - (pos & 127) + ((base + dl) & 127)] |=
-                ((int32_t)(pos & 127) << 7) | (1 << 14);
-          else if ((pos & 127) == 0)
-            meta[pos + ((base + dl) & 127)] |= (1 << 14);
-        }
-      } else {
-        for (int64_t x = 0; x < f_row; ++x) {
-          const uint32_t dl = perm[srecs[x].dl];
-          const int64_t orel = cursor[dl]++;
-          const int64_t pos = off_loc[dl] + orel;
-          const int64_t dist = std::min<int64_t>(
-              sdup[dl] - 1 - orel, 127 - (pos & 127));
-          qv[pos] = srecs[x].pv;
-          meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
-          if (orel == 0)
-            meta[pos - (pos & 127) + ((base + dl) & 127)] |=
-                ((int32_t)(pos & 127) << 7) | (1 << 14);
-          else if ((pos & 127) == 0)
-            meta[pos + ((base + dl) & 127)] |= (1 << 14);
-          asrc[pos] = srecs[x].p;
-          bsrc[pos] = srecs[x].q;
-        }
-      }
-    } else if (!want) {
-      for (int64_t x = 0; x < f_row; ++x) recs[x].dl = perm[recs[x].dl];
-      radix_by_dl(recs, recs2, cnt, f_row);
-      int64_t pos = 0, orel = 0;
-      uint32_t cur_dl = ~0u;
-      for (int64_t y = 0; y < f_row; ++y) {
-        const uint32_t dl = recs[y].dl;
-        if (dl != cur_dl) {
-          cur_dl = dl;
-          pos = off_loc[dl];
-          orel = 0;
-        }
+    // 4. stable counting scatter into the arena. Seeding each dest's
+    // cursor with its padded offset IS the dest sort (stable: products
+    // arrive in A-order and each cursor only advances) — this replaced
+    // a per-row LSD radix (histogram + bucket scatter + ordered emit,
+    // two extra passes over the records) with one write per product.
+    memset(cursor.data(), 0, (size_t)cnt * sizeof(int64_t));
+    const int64_t abase = ar_base * 128;
+    if (!want) {
+      for (int64_t x = 0; x < f_row; ++x) {
+        const uint32_t dl = perm[recs[x].dl];
+        const int64_t orel = cursor[dl]++;
+        const int64_t pos = off_loc[dl] + orel;
         const int64_t dist = std::min<int64_t>(
             sdup[dl] - 1 - orel, 127 - (pos & 127));
-        qv[pos] = recs[y].pv;
-        meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
+        Cell& c = acell[pos - abase];
+        c.pv = recs[x].pv;
+        c.mt |= (int32_t)(((base + dl) & 127) | (dist << 15));
         if (orel == 0)
-          meta[pos - (pos & 127) + ((base + dl) & 127)] |=
+          acell[pos - (pos & 127) + ((base + dl) & 127) - abase].mt |=
               ((int32_t)(pos & 127) << 7) | (1 << 14);
         else if ((pos & 127) == 0)
-          meta[pos + ((base + dl) & 127)] |= (1 << 14);
-        ++pos;
-        ++orel;
+          acell[pos + ((base + dl) & 127) - abase].mt |= (1 << 14);
       }
     } else {
-      for (int64_t x = 0; x < f_row; ++x) srecs[x].dl = perm[srecs[x].dl];
-      radix_by_dl(srecs, srecs2, cnt, f_row);
-      int64_t pos = 0, orel = 0;
-      uint32_t cur_dl = ~0u;
-      for (int64_t y = 0; y < f_row; ++y) {
-        const uint32_t dl = srecs[y].dl;
-        if (dl != cur_dl) {
-          cur_dl = dl;
-          pos = off_loc[dl];
-          orel = 0;
-        }
+      for (int64_t x = 0; x < f_row; ++x) {
+        const uint32_t dl = perm[srecs[x].dl];
+        const int64_t orel = cursor[dl]++;
+        const int64_t pos = off_loc[dl] + orel;
         const int64_t dist = std::min<int64_t>(
             sdup[dl] - 1 - orel, 127 - (pos & 127));
-        qv[pos] = srecs[y].pv;
-        meta[pos] |= (int32_t)(((base + dl) & 127) | (dist << 15));
+        CellS& c = acells[pos - abase];
+        c.pv = srecs[x].pv;
+        c.mt |= (int32_t)(((base + dl) & 127) | (dist << 15));
+        c.p = srecs[x].p;
+        c.q = srecs[x].q;
         if (orel == 0)
-          meta[pos - (pos & 127) + ((base + dl) & 127)] |=
+          acells[pos - (pos & 127) + ((base + dl) & 127) - abase].mt |=
               ((int32_t)(pos & 127) << 7) | (1 << 14);
         else if ((pos & 127) == 0)
-          meta[pos + ((base + dl) & 127)] |= (1 << 14);
-        asrc[pos] = srecs[y].p;
-        bsrc[pos] = srecs[y].q;
-        ++pos;
-        ++orel;
+          acells[pos + ((base + dl) & 127) - abase].mt |= (1 << 14);
       }
     }
     base += cnt;
     c_indptr[i + 1] = (int32_t)base;
+    // rows below the open window's write row are final — stream out
+    arena_flush(rows_alloc + (win_used >> 7));
   }
   close_windows_until(base ? (base + 127) >> 7 : 1);
+  arena_flush(rows_alloc);
   out_stats[0] = max_run;
   out_stats[1] = rows_alloc;
   return base;

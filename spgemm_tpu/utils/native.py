@@ -401,10 +401,10 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
 
     c_indptr = np.zeros(m + 1, np.int32)
     c_indices = pool_array((ub_total,), np.int32)
-    # planes arrive UNINITIALIZED: esc_scan_build zero/-1-fills rows
-    # incrementally as it allocates them (cache-hot, exactly-once) — a
+    # planes arrive UNINITIALIZED: esc_scan_build writes every row in
+    # [0, r_total) exactly once via its NT-store arena flush (a
     # host-side pre-zero over the loose r_ub bound cost multi-GB
-    # memsets (40+ s at cant scale). Only the [r_total:r_pad] tail is
+    # memsets — 40+ s at cant scale). Only the [r_total:r_pad] tail is
     # cleared here after the call.
     qv = pool_array((r_ub, 128), np.float32)
     meta = pool_array((r_ub, 128), np.int32)
