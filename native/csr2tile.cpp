@@ -514,9 +514,11 @@ void esc_fill(
 // incrementally: dests are enumerated strictly monotonically, so
 // win_rowptr is a running state, not a separate pass.
 // rmat65536 (399 M products), warm pool, keep_sources=True: 116 s
-// (round 2) -> 9.2 s (radix fill) -> 7.6 s (this arena fill, 53 M
-// prod/s; 6.0 s / 67 M prod/s without source maps). Cold first build
-// after prewarm also improves, 75 s -> 49 s (arena vectors are the
+// (round 2) -> 9.2 s (radix fill) -> 6.7 s (arena fill + fused DestCur
+// scatter, 59 M prod/s; 5.35 s / 75 M prod/s without source maps).
+// Stage split without sources: walk 37%, extract 13%, layout 20%,
+// scatter 19%, flush 11% (tools/profile_esc_plan.py). Cold first build
+// after prewarm also improves, 75 s -> ~45 s (arena vectors are the
 // only remaining first-touch surface).
 
 }  // extern "C" — the helpers below are templates / overloads
@@ -530,6 +532,17 @@ struct ScanRecS { uint32_t dl; float pv; int32_t p, q; };
 // streams. The planes themselves are never memset and never read.
 struct Cell { float pv; int32_t mt; };
 struct CellS { float pv; int32_t mt; int32_t p, q; };
+
+// Cheap stage clock for the build profiler (tools/profile_esc_plan.py):
+// raw TSC ticks — consumers only use stage *fractions* of the total, so
+// no frequency calibration is needed.
+inline uint64_t stage_tsc() {
+#if defined(__x86_64__) || defined(__i386__)
+  return __builtin_ia32_rdtsc();
+#else
+  return 0;
+#endif
+}
 
 // De-interleave `nrows` 128-lane rows of cells into the output planes.
 // Non-temporal stores: the planes are written exactly once and not
@@ -610,7 +623,10 @@ extern "C" {
 // in-row run — the scan kernels mask each doubling pass with one
 // compare (dist >= d) instead of rolling the slot tags, saving a third
 // of the VPU roll traffic (the f64 double-double kernel is roll-bound).
-// out_stats: [0] = max run length, [1] = rows used (unpadded R).
+// out_stats: [0] = max run length, [1] = rows used (unpadded R);
+// [2..6] = per-stage TSC tick totals (walk, extract, layout, scatter,
+// arena flush) for tools/profile_esc_plan.py — fractions of their sum
+// locate the hot stage.
 // Returns nnz_c.
 int64_t esc_scan_build(
     const int32_t* a_indptr, const int32_t* a_indices,
@@ -631,10 +647,15 @@ int64_t esc_scan_build(
   std::vector<uint64_t> sta(n, ~(uint64_t)0);
   std::vector<int32_t> cols(n);
   std::vector<int32_t> dup(n);
-  std::vector<uint32_t> perm(n);
+  std::vector<uint32_t> inv(n);   // sorted ordinal -> first-seen ordinal
   std::vector<int64_t> sdup(n);
-  std::vector<int64_t> off_loc(n);
-  std::vector<int64_t> cursor(n);
+  // Per-dest scatter state, indexed by FIRST-SEEN ordinal so the
+  // product loop needs no perm translation: one 16-B random access per
+  // product (cur++ plus the packed end|slot) replaced four separate
+  // random lookups (perm, cursor, off_loc, sdup) — the scatter stage
+  // was 34-39% of the build.
+  struct DestCur { int64_t cur; int64_t end_slot; };  // end<<7 | slot
+  std::vector<DestCur> dc(n);
   const int64_t nwords = (n + 63) >> 6;
   std::vector<uint64_t> bits(nwords, 0);
   // bitmap sweep costs ~n/64 word ops; std::sort ~cnt*log2(cnt)
@@ -658,6 +679,8 @@ int64_t esc_scan_build(
   std::vector<Cell> acell;
   std::vector<CellS> acells;
   int64_t ar_base = 0, ar_rows = 0;
+  uint64_t t_walk = 0, t_extract = 0, t_layout = 0, t_scatter = 0,
+           t_flush = 0;
   auto arena_extend = [&](int64_t r_end) {
     if (r_end <= ar_base + ar_rows) return;
     const int64_t need = r_end - ar_base;
@@ -682,6 +705,7 @@ int64_t esc_scan_build(
     // are globally monotone; a run's meta marks stay within the run's
     // own rows) targets rows >= r_end
     if (r_end <= ar_base) return;
+    const uint64_t tf0 = stage_tsc();
     const int64_t nr = r_end - ar_base;
     if (!want) {
       flush_rows(acell.data(), nr, qv + ar_base * 128,
@@ -697,6 +721,7 @@ int64_t esc_scan_build(
     }
     ar_base = r_end;
     ar_rows -= nr;
+    t_flush += stage_tsc() - tf0;
   };
   auto close_windows_until = [&](int64_t w) {
     while (cur_win < w) {
@@ -725,6 +750,7 @@ int64_t esc_scan_build(
       if ((int64_t)srecs.size() < fb) srecs.resize(fb);
     }
     // 1. single product walk: collect + record
+    const uint64_t t1_ = stage_tsc();
     int64_t cnt = 0;
     int64_t f_row = 0;
     for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
@@ -757,6 +783,8 @@ int64_t esc_scan_build(
         ++f_row;
       }
     }
+    const uint64_t t2_ = stage_tsc();
+    t_walk += t2_ - t1_;
     if (!cnt) {
       c_indptr[i + 1] = (int32_t)base;
       continue;
@@ -776,7 +804,7 @@ int64_t esc_scan_build(
           const uint32_t fs = (uint32_t)sta[j];
           c_indices[base + s] = j;
           sdup[s] = dup[fs];
-          perm[fs] = (uint32_t)s;
+          inv[s] = fs;
           ++s;
         }
       }
@@ -787,9 +815,11 @@ int64_t esc_scan_build(
         const uint32_t fs = (uint32_t)sta[j];
         c_indices[base + s] = j;
         sdup[s] = dup[fs];
-        perm[fs] = (uint32_t)s;
+        inv[s] = fs;
       }
     }
+    const uint64_t t3_ = stage_tsc();
+    t_extract += t3_ - t2_;
     // 3. window layout (dests globally monotone). The run-start /
     // row-continuation meta marks are NOT written here: step 4 visits
     // every product anyway, so it emits them at orel==0 and at row
@@ -799,8 +829,8 @@ int64_t esc_scan_build(
       const int64_t d = base + t;
       close_windows_until(d >> 7);
       const int64_t off = rows_alloc * 128 + win_used;
-      off_loc[t] = off;
       const int64_t dp = sdup[t];
+      const int64_t slot = d & 127;
       const int64_t r0 = off >> 7;
       const int64_t r1 = (off + dp - 1) >> 7;
       arena_extend(r1 + 1);
@@ -812,52 +842,56 @@ int64_t esc_scan_build(
         const int64_t runr = std::min<int64_t>(rem, 128);
         if (runr > max_run) max_run = runr;
       }
+      // run-start / continuation meta marks, written here per DEST
+      // (the scatter loop below stays branch-free per product). Total
+      // continuation-row writes are bounded by F/128 + cnt.
+      const int64_t abase_ = ar_base * 128;
+      int32_t* mt0 = want ? &acells[r0 * 128 + slot - abase_].mt
+                          : &acell[r0 * 128 + slot - abase_].mt;
+      *mt0 |= ((int32_t)(off & 127) << 7) | (1 << 14);
+      for (int64_t r = r0 + 1; r <= r1; ++r) {
+        int32_t* mtc = want ? &acells[r * 128 + slot - abase_].mt
+                            : &acell[r * 128 + slot - abase_].mt;
+        *mtc |= (1 << 14);
+      }
+      dc[inv[t]] = DestCur{off, ((off + dp) << 7) | slot};
       win_used += dp;
     }
-    // 4. stable counting scatter into the arena. Seeding each dest's
-    // cursor with its padded offset IS the dest sort (stable: products
-    // arrive in A-order and each cursor only advances) — this replaced
-    // a per-row LSD radix (histogram + bucket scatter + ordered emit,
-    // two extra passes over the records) with one write per product.
-    memset(cursor.data(), 0, (size_t)cnt * sizeof(int64_t));
+    const uint64_t t4_ = stage_tsc();
+    t_layout += t4_ - t3_;
+    // 4. stable counting scatter into the arena. Each dest's cursor
+    // was seeded with its padded offset in the layout pass above —
+    // that seeding IS the dest sort (stable: products arrive in
+    // A-order and each cursor only advances). Branch-free per product:
+    // one random 16-B DestCur access + one arena cell write (the
+    // run-start / continuation marks were emitted per dest in layout).
     const int64_t abase = ar_base * 128;
     if (!want) {
       for (int64_t x = 0; x < f_row; ++x) {
-        const uint32_t dl = perm[recs[x].dl];
-        const int64_t orel = cursor[dl]++;
-        const int64_t pos = off_loc[dl] + orel;
+        DestCur& d = dc[recs[x].dl];
+        const int64_t pos = d.cur++;
         const int64_t dist = std::min<int64_t>(
-            sdup[dl] - 1 - orel, 127 - (pos & 127));
+            (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
         Cell& c = acell[pos - abase];
         c.pv = recs[x].pv;
-        c.mt |= (int32_t)(((base + dl) & 127) | (dist << 15));
-        if (orel == 0)
-          acell[pos - (pos & 127) + ((base + dl) & 127) - abase].mt |=
-              ((int32_t)(pos & 127) << 7) | (1 << 14);
-        else if ((pos & 127) == 0)
-          acell[pos + ((base + dl) & 127) - abase].mt |= (1 << 14);
+        c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
       }
     } else {
       for (int64_t x = 0; x < f_row; ++x) {
-        const uint32_t dl = perm[srecs[x].dl];
-        const int64_t orel = cursor[dl]++;
-        const int64_t pos = off_loc[dl] + orel;
+        DestCur& d = dc[srecs[x].dl];
+        const int64_t pos = d.cur++;
         const int64_t dist = std::min<int64_t>(
-            sdup[dl] - 1 - orel, 127 - (pos & 127));
+            (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
         CellS& c = acells[pos - abase];
         c.pv = srecs[x].pv;
-        c.mt |= (int32_t)(((base + dl) & 127) | (dist << 15));
+        c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
         c.p = srecs[x].p;
         c.q = srecs[x].q;
-        if (orel == 0)
-          acells[pos - (pos & 127) + ((base + dl) & 127) - abase].mt |=
-              ((int32_t)(pos & 127) << 7) | (1 << 14);
-        else if ((pos & 127) == 0)
-          acells[pos + ((base + dl) & 127) - abase].mt |= (1 << 14);
       }
     }
     base += cnt;
     c_indptr[i + 1] = (int32_t)base;
+    t_scatter += stage_tsc() - t4_;
     // rows below the open window's write row are final — stream out
     arena_flush(rows_alloc + (win_used >> 7));
   }
@@ -865,6 +899,11 @@ int64_t esc_scan_build(
   arena_flush(rows_alloc);
   out_stats[0] = max_run;
   out_stats[1] = rows_alloc;
+  out_stats[2] = (int64_t)t_walk;
+  out_stats[3] = (int64_t)t_extract;
+  out_stats[4] = (int64_t)t_layout;
+  out_stats[5] = (int64_t)t_scatter;
+  out_stats[6] = (int64_t)t_flush;
   return base;
 }
 

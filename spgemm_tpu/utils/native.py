@@ -304,6 +304,9 @@ def madvise_hugepage(*arrays):
 
 _POOL: list = []
 
+# per-stage TSC totals of the most recent esc_scan_build (profiling aid)
+last_scan_build_stages: dict | None = None
+
 
 def pool_array(shape, dtype, *, zero: bool = False, fill=None):
     """Process-level big-buffer pool. On this host (Firecracker VM with
@@ -414,7 +417,7 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
     else:
         asrc = bsrc = np.zeros(1, np.int32)  # dummy target
     win_rowptr_buf = pool_array((n_win_ub + 1,), np.int64)
-    stats = np.zeros(2, np.int64)
+    stats = np.zeros(8, np.int64)  # [0]=max_run [1]=r_total [2:7]=stage tsc
     ad = np.ascontiguousarray(a.data, np.float64)
     bd = np.ascontiguousarray(b.data, np.float64)
     nnz_c = int(lib.esc_scan_build(
@@ -427,6 +430,13 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
         ctypes.c_int64(1 if keep_sources else 0),
         ctypes.c_int64(group_rows),
         _ptr(win_rowptr_buf, I64), _ptr(stats, I64)))
+
+    # stage breakdown (TSC tick totals; fractions locate the hot stage —
+    # read by tools/profile_esc_plan.py)
+    global last_scan_build_stages
+    last_scan_build_stages = dict(zip(
+        ("walk", "extract", "layout", "scatter", "flush"),
+        (int(v) for v in stats[2:7])))
 
     n_win = max(1, -(-nnz_c // 128))
     win_rowptr = win_rowptr_buf[: n_win + 1]

@@ -53,6 +53,16 @@ def main():
     print(f"rebuild (warm):         {1e3*(t3-t2):9.1f} ms  "
           f"({flops/max(t3-t2,1e-9)/1e6:.1f} M prod/s)")
 
+    # per-stage breakdown of the warm rebuild (TSC tick fractions from
+    # esc_scan_build's out_stats[2:7], scaled onto wall time)
+    import spgemm_tpu.utils.native as _nv
+    stages = _nv.last_scan_build_stages
+    if stages and sum(stages.values()):
+        tot = sum(stages.values())
+        print("stage split:            "
+              + "  ".join(f"{k}={100*v/tot:.0f}% (~{(t3-t2)*v/tot:.2f}s)"
+                          for k, v in stages.items()))
+
     from spgemm_tpu.ops.esc import build_esc_scan_plan
 
     t4 = time.perf_counter()
