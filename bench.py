@@ -154,9 +154,11 @@ def main():
     # f64 row (the reference computes double throughout, common.h:22):
     # the double-double scan engine on a random matrix — oracle-exact on
     # the reference's integer value model (tests/test_esc.py). Gate with
-    # BENCH_F64=0; the cant-scale f64 plan takes ~50 s of host symbolic,
-    # so the checked row uses n=8192 (see benchdata/f64_results.txt
-    # for the full-size figure: 36.8 f64-GFLOPS at cant scale).
+    # BENCH_F64=0. The checked row uses n=8192 to keep this harness
+    # single-purpose (one JSON line, no multi-GB plane uploads through
+    # the tunnel); the full cant-scale figure comes from
+    # tools/measure_f64_cant.py (warm plan build is ~2 s there after
+    # the pool-capacity fix; see benchdata/f64_results.txt).
     f64_gflops = None
     if os.environ.get("BENCH_F64", "1") != "0":
         # fail-soft: the headline JSON line must print even if the f64

@@ -340,20 +340,57 @@ def pool_array(shape, dtype, *, zero: bool = False, fill=None):
     return arr
 
 
-def pool_prewarm(nbytes: int, parts: int = 4) -> None:
+def pool_prewarm(nbytes: int, parts: int = 4,
+                 part_cap: int | None = None) -> None:
     """Fault in ~nbytes of pool memory up front (startup arena
     provisioning — the one-time ~11 s/GB host-backing cost happens here
     instead of inside the first plan build).
 
-    Part sizes are powers of two so each request exactly matches its
-    buffer's capacity: pool_array rounds capacity up to a power of two,
-    and a non-pow2 request would leave the buffer's tail unprovisioned —
-    a later bigger request reusing that buffer would then fault the tail
-    at first-touch speed mid-build (measured: ~0.5 GB tails cost seconds
-    at rmat65536 scale)."""
+    part_cap (bytes, rounded up to a power of two) sets each buffer's
+    CAPACITY independently of how much is faulted: a plan-array request
+    only reuses a pooled buffer whose capacity covers it, so part_cap
+    must be >= the largest single array the first build will request —
+    round-2's 2 GB parts missed the ~2.1 GB cant plane requests by a
+    hair and the build paid first-touch on fresh buffers a second time.
+    Only nbytes/parts of each buffer is faulted (the expected touched
+    prefix); capacity beyond that is virtual and free.
+
+    Without part_cap, part sizes are powers of two so each request
+    exactly matches its buffer's capacity: pool_array rounds capacity up
+    to a power of two, and a non-pow2 request would leave the buffer's
+    tail unprovisioned — a later bigger request reusing that buffer
+    would then fault the tail at first-touch speed mid-build (measured:
+    ~0.5 GB tails cost seconds at rmat65536 scale)."""
     per = 1 << max(20, (max(nbytes // parts, 1) - 1).bit_length())
-    held = [pool_array((per,), np.uint8, zero=True) for _ in range(parts)]
+    cap = per if part_cap is None else \
+        1 << max(20, (max(part_cap, per) - 1).bit_length())
+    held = []
+    for _ in range(parts):
+        buf = pool_array((cap,), np.uint8)
+        buf[:per].fill(0)  # fault only the expected touched prefix
+        held.append(buf)
     del held
+
+
+def esc_plan_request_bytes(a, b, group_rows: int = 1) -> int:
+    """Largest single pool_array request (bytes) the scan-plan build
+    will make for (a, b) — pool_prewarm's part_cap must cover this or
+    the first build allocates fresh (unfaulted) buffers and pays the
+    host's ~11 s/GB first-touch cost inside the timed region. Mirrors
+    esc_scan_symbolic_native's r_ub / ub_total bounds."""
+    blen = np.diff(np.asarray(b.indptr, np.int64))
+    aj = np.asarray(a.indices, np.int64)
+    ai = np.asarray(a.indptr, np.int64)
+    cs0 = np.zeros(aj.size + 1, np.int64)
+    np.cumsum(blen[aj], out=cs0[1:])
+    flops = int(cs0[-1])
+    from spgemm_tpu.ops.esc import SCAN_BLK
+
+    row_f = cs0[ai[1:]] - cs0[ai[:-1]]
+    ub_total = max(1, int(np.minimum(row_f, b.n).sum()))
+    n_win_ub = ub_total // 128 + 1
+    r_ub = (flops + 127) // 128 + n_win_ub * group_rows + SCAN_BLK
+    return max(r_ub * 128 * 4, ub_total * 4, (n_win_ub + 1) * 8)
 
 
 def esc_scan_symbolic_native(a, b, keep_sources: bool = True,

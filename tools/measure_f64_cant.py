@@ -32,6 +32,14 @@ def main():
 
     g = choose_group_rows(a, a)
     print(f"choose_group_rows -> {g}", flush=True)
+    # provision the pool so the plan build below is measured warm (the
+    # one-time ~11 s/GB host-backing cost is environmental, see README)
+    from spgemm_tpu.utils.native import esc_plan_request_bytes, pool_prewarm
+
+    t0 = time.perf_counter()
+    pool_prewarm(5 << 30, parts=6,
+                 part_cap=esc_plan_request_bytes(a, a, group_rows=g))
+    print(f"pool prewarm: {time.perf_counter()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     plan = build_esc_scan_plan(a, a, keep_sources=True, group_rows=g)
     print(f"plan build: {time.perf_counter()-t0:.1f}s F={plan.num_products} "

@@ -90,13 +90,20 @@ def main(argv=None) -> int:
         # the largest flop count in the suite (12 B/product build
         # footprint, capped at 12 GB). Disclosed in README; use
         # --no-prewarm to include provisioning in the first row.
-        from spgemm_tpu.utils.native import pool_prewarm
+        from spgemm_tpu.utils.native import (esc_plan_request_bytes,
+                                             pool_prewarm)
 
         worst = max((flop_count_spgemm(m_, m_) for m_ in mats.values()),
                     default=0)
         need = min(int(worst) * 12 + (1 << 30), 12 << 30)
+        # part CAPACITY must cover the largest single plan-array request
+        # or the first build allocates fresh unfaulted buffers (round-2
+        # prewarm missed the ~2.1 GB cant plane requests with 2 GB
+        # parts); 6 parts = 4 planes + c_indices + headroom
+        cap = max((esc_plan_request_bytes(m_, m_) for m_ in mats.values()),
+                  default=0)
         t0 = time.perf_counter()
-        pool_prewarm(need)
+        pool_prewarm(need, parts=6, part_cap=cap)
         print(f"arena prewarm: {need / 1e9:.1f} GB in "
               f"{time.perf_counter() - t0:.1f} s", flush=True)
 
