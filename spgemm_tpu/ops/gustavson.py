@@ -74,9 +74,13 @@ class GustavsonPlan:
 
 
 def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32,
-                         a_slabs: bool = True) -> GustavsonPlan:
+                         a_slabs: bool = True,
+                         values: bool = True) -> GustavsonPlan:
     """Build the Gustavson k-group plan. With a_slabs=False the stacked A
-    slabs are skipped (the strip kernel packs A per tile-row itself)."""
+    slabs are skipped (the strip kernel packs A per tile-row itself).
+    With values=False only the occupancy slabs are packed (the Ozaki f64
+    engine supplies its own int8 slice planes, ops/ozaki.py — and casting
+    wide-exponent f64 values to f32 would warn/overflow pointlessly)."""
     if a.n != b.m:
         raise ValueError(f"dimension mismatch: {a.shape} @ {b.shape}")
     if a.tn != b.tm:
@@ -96,40 +100,47 @@ def build_gustavson_plan(a: TileMat, b: TileMat, dtype=np.float32,
     max_b = max(1, int(cnt_b.max()) if b.nt else 1)
 
     # --- slabs (vectorized fills) ---
-    bd, bo = b.dense(dtype), b.occ().astype(dtype)
+    bd = b.dense(dtype) if values else None
+    bo = b.occ().astype(dtype)
 
     if a_slabs:
-        ad, ao = a.dense(dtype), a.occ().astype(dtype)
+        ad = a.dense(dtype) if values else None
+        ao = a.occ().astype(dtype)
         # A slot for the r-th tile of column k (csc order): k*max_a + rank
         rank_a = np.arange(a.nt, dtype=np.int64) - np.repeat(
             acsc_ptr[:-1].astype(np.int64), cnt_a
         )
         ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
         slot_a = ka * max_a + rank_a
-        a3_val = np.zeros((gk * max_a, tm, tk), dtype=dtype)
         a3_occ = np.zeros((gk * max_a, tm, tk), dtype=dtype)
-        a3_val[slot_a] = ad[acsc_perm]
         a3_occ[slot_a] = ao[acsc_perm]
-        # vertical stack: (gk, max_a*tm, tk)
-        a3_val = a3_val.reshape(gk, max_a * tm, tk)
         a3_occ = a3_occ.reshape(gk, max_a * tm, tk)
+        if values:
+            a3_val = np.zeros((gk * max_a, tm, tk), dtype=dtype)
+            a3_val[slot_a] = ad[acsc_perm]
+            # vertical stack: (gk, max_a*tm, tk)
+            a3_val = a3_val.reshape(gk, max_a * tm, tk)
+        else:
+            a3_val = None
     else:
         a3_val = a3_occ = None
 
     rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
     kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
     slot_b = kb * max_b + rank_b
-    b3_val = np.zeros((gk * max_b, tk, tn), dtype=dtype)
     b3_occ = np.zeros((gk * max_b, tk, tn), dtype=dtype)
-    b3_val[slot_b] = bd
     b3_occ[slot_b] = bo
     # horizontal stack: (gk, tk, max_b*tn)
-    b3_val = b3_val.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
-        gk, tk, max_b * tn
-    )
     b3_occ = b3_occ.reshape(gk, max_b, tk, tn).transpose(0, 2, 1, 3).reshape(
         gk, tk, max_b * tn
     )
+    if values:
+        b3_val = np.zeros((gk * max_b, tk, tn), dtype=dtype)
+        b3_val[slot_b] = bd
+        b3_val = b3_val.reshape(gk, max_b, tk, tn).transpose(
+            0, 2, 1, 3).reshape(gk, tk, max_b * tn)
+    else:
+        b3_val = None
 
     prep_ms = (time.perf_counter() - t_prep) * 1e3
 

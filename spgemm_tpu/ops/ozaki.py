@@ -1,0 +1,379 @@
+"""Ozaki-slice f64 SpGEMM engine — exact double-precision products on an
+f32/int8 MXU, for STRUCTURED matrices (the tiled/slab formulation).
+
+The reference computes all of SpGEMM in double (`/root/reference/src/
+common.h:22`; step-4 numeric `tilespgemm-cuda.h:2649-2728` accumulates
+`double` in shared memory). TPUs have no f64 ALU, so this engine splits
+each f64 value into S signed 7-bit integer slices against a per-row
+(A) / per-column (B) power-of-two scale:
+
+    a[r, k] = 2^(Ea_r - 7)  * sum_s  qa_s[r, k] * 2^(-7 s)
+    b[k, c] = 2^(Eb_c - 7)  * sum_t  qb_t[k, c] * 2^(-7 t)
+
+with |qa|, |qb| <= 127 (int8). Every slice-pair product then runs on the
+MXU as an int8 x int8 -> int32 `dot_general` — EXACT: products are
+< 2^14 and the int32 accumulation never rounds (the per-tile-dictionary
+scatter keeps accumulating in int32; a host-side bound check guarantees
+no overflow, see build_ozaki_plan). Pair groups p = s + t are combined
+on device into a double-float (hi, lo) pair via exact int32 splits and
+TwoSum compensation, and the host applies the 2^(Ea_r + Eb_c - 14)
+scales in f64 — full f64 exponent range, no device overflow.
+
+S adapts to the data (slice_count): the reference's synthetic benchmark
+values are small integers (`main.cu:111-112`, i % 10 style), which need
+S = 1 — ONE int8 matmul per slab pair, cheaper than the f32 path.
+General f64 significands need S = 8 (7 * 8 = 56 >= 53 bits), i.e.
+Sa * Sb = 64 slice-pair matmuls. Accuracy model: within each A row /
+B column, significand bits more than 7*S below the row/column maximum
+are truncated (the standard Ozaki-scheme blocked bound); when S covers
+the true bit span — any data whose per-row dynamic range fits 56 bits,
+including every integer-valued model — the result is BIT-EXACT f64.
+
+Geometry (k-group slabs, C-tile dictionary, occupancy counts) is shared
+with the Gustavson slab backend (ops/gustavson.py:build_gustavson_plan);
+only the value planes differ (int8 slice stacks instead of f32 slabs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spgemm_tpu.models.tile import TileMat
+from spgemm_tpu.ops.gustavson import GustavsonPlan, build_gustavson_plan
+
+MAX_SLICES = 8          # 7 bits/slice * 8 = 56 >= f64's 53 significand bits
+_INT32_HEADROOM = 2     # require bound * HEADROOM < 2^31
+
+
+class OzakiOverflow(ValueError):
+    """The int32 accumulation bound cannot be guaranteed for this
+    problem (too many products per C element for the slice width).
+    Callers fall back to the double-double scan engine."""
+
+
+# --- host-side slicing ------------------------------------------------------
+
+def _span_slices(dense: np.ndarray, exp_of: np.ndarray) -> int:
+    """S = ceil(max bit span / 7): bit span of value v in a group with
+    scale exponent E is E - lsb_exponent(v)."""
+    nz = dense != 0.0
+    if not nz.any():
+        return 1
+    v = dense[nz]
+    e_scale = exp_of[nz]
+    mant, e = np.frexp(v)
+    mi = np.abs(np.ldexp(mant, 53)).astype(np.int64)
+    tz = np.zeros(mi.shape, np.int64)
+    m = mi.copy()
+    for step in (32, 16, 8, 4, 2, 1):
+        z = (m & ((1 << step) - 1)) == 0
+        tz[z] += step
+        m[z] >>= step
+    lsb = e.astype(np.int64) - 53 + tz
+    span = int((e_scale - lsb).max())
+    return min(MAX_SLICES, max(1, -(-span // 7)))
+
+
+def _slice_int8(dense: np.ndarray, exp_of: np.ndarray, s: int) -> np.ndarray:
+    """(S, *dense.shape) int8 slices: x0 = v * 2^(7 - E); q_i = trunc;
+    x_{i+1} = (x_i - q_i) * 128. All steps are exact in f64."""
+    x = np.ldexp(dense, 7 - exp_of)
+    out = np.empty((s,) + dense.shape, np.int8)
+    for i in range(s):
+        q = np.trunc(x)
+        out[i] = q.astype(np.int8)
+        if i + 1 < s:
+            x = (x - q) * 128.0
+    return out
+
+
+# --- plan -------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OzakiPlan:
+    base: GustavsonPlan          # geometry + occupancy slabs (f32)
+    a_sl: np.ndarray             # (Sa, gk, max_a*tm, tk) int8
+    b_sl: np.ndarray             # (Sb, gk, tk, max_b*tn) int8
+    ea: np.ndarray               # (gm*tm,) int64 per-row scale exponents
+    eb: np.ndarray               # (gn*tn,) int64 per-col scale exponents
+    sa: int
+    sb: int
+    prep_ms: float
+    symbolic_ms: float
+
+    @property
+    def num_pairs(self) -> int:
+        return self.base.num_pairs
+
+    @property
+    def ctrow(self):
+        return self.base.ctrow
+
+    @property
+    def ctcol(self):
+        return self.base.ctcol
+
+    @property
+    def nt_c(self) -> int:
+        return self.base.nt_c
+
+    def padding_ratio(self) -> float:
+        return self.base.padding_ratio()
+
+
+def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
+    """Slice the f64 tile values and pack them into the Gustavson slab
+    layout (same slot formulas as build_gustavson_plan; the occupancy
+    slabs and C-tile dictionary are reused from the base plan).
+
+    Raises OzakiOverflow when the int32 accumulation bound cannot be
+    guaranteed: per C element the scatter accumulates at most
+    (pairs hitting that C tile) * tk * min(Sa, Sb) products of
+    magnitude <= 127^2 — verified against 2^31 with headroom."""
+    base = build_gustavson_plan(a, b, dtype=np.float32, values=False)
+    gk, max_a, max_b = base.gk, base.max_a, base.max_b
+    tm, tk, tn = base.tm, base.tk, base.tn
+
+    t_prep = time.perf_counter()
+    ad = a.dense(np.float64)
+    bd = b.dense(np.float64)
+    if not (np.isfinite(ad).all() and np.isfinite(bd).all()):
+        raise ValueError("ozaki engine requires finite values")
+
+    # per-row scales for A (rows of C), per-column scales for B:
+    # per-tile row/col maxima -> global owner scatter-max, then frexp
+    # (mx = m * 2^e with 0.5 <= |m| < 1  =>  every |v| <= mx < 2^e,
+    # except mx == 2^k exactly -> e = k + 1: still |v| < 2^E)
+    a_rowmax = np.abs(ad).max(axis=2)                       # (nt_a, tm)
+    ea = np.zeros(a.gm * tm, np.float64)
+    np.maximum.at(ea.reshape(a.gm, tm), a.trow.astype(np.int64), a_rowmax)
+    _, ea_e = np.frexp(ea)
+    ea_e[ea == 0.0] = 0
+    ea = ea_e.astype(np.int64)                              # (gm*tm,)
+
+    b_colmax = np.abs(bd).max(axis=1)                       # (nt_b, tn)
+    eb = np.zeros(b.gn * tn, np.float64)
+    np.maximum.at(eb.reshape(b.gn, tn), b.tcol.astype(np.int64), b_colmax)
+    _, eb_e = np.frexp(eb)
+    eb_e[eb == 0.0] = 0
+    eb = eb_e.astype(np.int64)                              # (gn*tn,)
+
+    exp_a = ea.reshape(a.gm, tm)[a.trow.astype(np.int64)][:, :, None]
+    exp_b = eb.reshape(b.gn, tn)[b.tcol.astype(np.int64)][:, None, :]
+    sa = _span_slices(ad, np.broadcast_to(exp_a, ad.shape))
+    sb = _span_slices(bd, np.broadcast_to(exp_b, bd.shape))
+
+    # int32 accumulation bound (per C element, per pair group)
+    seg_real = base.seg[base.seg < base.nt_c]
+    max_pairs = int(np.bincount(seg_real).max()) if seg_real.size else 1
+    bound = max_pairs * tk * min(sa, sb) * 127 * 127
+    if bound * _INT32_HEADROOM >= 2 ** 31:
+        raise OzakiOverflow(
+            f"int32 bound {bound:.3g} (pairs/tile={max_pairs}, tk={tk}, "
+            f"g={min(sa, sb)}) too close to 2^31 — use the double-double "
+            "scan engine for this problem")
+    # HBM feasibility: per-group pair-product buffer (int32, same size
+    # as the f32 slab backend's) + the slice stacks themselves
+    slab_bytes = gk * max_a * max_b * tm * tn * 4
+    slice_bytes = (sa * gk * max_a * tm * tk + sb * gk * max_b * tk * tn)
+    if slab_bytes > (4 << 30) or slice_bytes > (4 << 30):
+        raise OzakiOverflow(
+            f"slab padding explodes (pair buffer {slab_bytes/1e9:.1f} GB, "
+            f"slices {slice_bytes/1e9:.1f} GB) — unstructured pattern; "
+            "use the double-double scan engine")
+
+    a_slices = _slice_int8(ad, exp_a, sa)                   # (Sa, nt, tm, tk)
+    b_slices = _slice_int8(bd, exp_b, sb)                   # (Sb, nt, tk, tn)
+
+    # pack into the slab layout (same slot formulas as
+    # build_gustavson_plan, gustavson.py:101-132)
+    acsc_ptr, acsc_perm = a.csc_view()
+    cnt_a = np.diff(acsc_ptr).astype(np.int64)
+    rank_a = np.arange(a.nt, dtype=np.int64) - np.repeat(
+        acsc_ptr[:-1].astype(np.int64), cnt_a)
+    ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
+    slot_a = ka * max_a + rank_a
+    a_sl = np.zeros((sa, gk * max_a, tm, tk), np.int8)
+    a_sl[:, slot_a] = a_slices[:, acsc_perm]
+    a_sl = a_sl.reshape(sa, gk, max_a * tm, tk)
+
+    bptr = b.tptr.astype(np.int64)
+    cnt_b = np.diff(bptr)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
+    kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
+    slot_b = kb * max_b + rank_b
+    b_sl = np.zeros((sb, gk * max_b, tk, tn), np.int8)
+    b_sl[:, slot_b] = b_slices
+    b_sl = b_sl.reshape(sb, gk, max_b, tk, tn).transpose(
+        0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn)
+
+    prep_ms = (time.perf_counter() - t_prep) * 1e3
+    return OzakiPlan(
+        base=base, a_sl=a_sl, b_sl=b_sl, ea=ea, eb=eb, sa=sa, sb=sb,
+        prep_ms=prep_ms + base.prep_ms,
+        symbolic_ms=base.symbolic_ms,
+    )
+
+
+# --- device numeric ---------------------------------------------------------
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _dd_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    e = e + xl + yl
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
+               tm, tn, nt_c, sa, sb):
+    """Traceable core: Sa*Sb exact int8->int32 slab matmuls, per-group
+    int32 scatter into the C-tile dictionary, device double-float
+    combine. Returns (c_hi, c_lo, c_cnt) — hi/lo are the UNSCALED
+    double-float sums sum_p M_p * 2^(-7p); the host applies the
+    2^(Ea_r + Eb_c - 14) scales in f64."""
+
+    def slab_mm(x, y, acc):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def to_pairs(p):
+        return (p.reshape(gk, max_a, tm, max_b, tn)
+                 .transpose(0, 1, 3, 2, 4).reshape(-1, tm, tn))
+
+    stride = nt_c + 1
+    c_hi = jnp.zeros((nt_c, tm, tn), jnp.float32)
+    c_lo = jnp.zeros((nt_c, tm, tn), jnp.float32)
+    for p in range(sa + sb - 1):
+        m = None
+        for s in range(max(0, p - sb + 1), min(sa - 1, p) + 1):
+            d = slab_mm(a_sl[s], b_sl[p - s], jnp.int32)
+            m = d if m is None else m + d
+        mp = jnp.zeros((stride, tm, tn), jnp.int32)
+        mp = mp.at[seg].add(to_pairs(m))[:nt_c]
+        # exact int32 -> double-float split, scaled by 2^(-7p)
+        mh = mp.astype(jnp.float32)
+        ml = (mp - mh.astype(jnp.int32)).astype(jnp.float32)
+        scale = jnp.float32(2.0 ** (-7 * p))
+        c_hi, c_lo = _dd_add(c_hi, c_lo, mh * scale, ml * scale)
+
+    po = jax.lax.dot_general(
+        a3_occ, b3_occ, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    cnt = jnp.zeros((stride, tm, tn), jnp.float32)
+    cnt = cnt.at[seg].add(to_pairs(po))[:nt_c]
+    return c_hi, c_lo, cnt
+
+
+_ozaki_jit = jax.jit(
+    ozaki_core,
+    static_argnames=("gk", "max_a", "max_b", "tm", "tn", "nt_c",
+                     "sa", "sb"))
+
+
+def ozaki_numeric(plan: OzakiPlan, device=None, sync: bool = True):
+    """Upload + run; returns device (c_hi, c_lo, c_cnt) and timing dict."""
+    base = plan.base
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    arrs = jax.device_put(
+        (plan.a_sl, plan.b_sl, base.a3_occ, base.b3_occ, base.seg), device)
+    jax.block_until_ready(arrs)
+    timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
+    t0 = time.perf_counter()
+    out = _ozaki_jit(*arrs, gk=base.gk, max_a=base.max_a, max_b=base.max_b,
+                     tm=base.tm, tn=base.tn, nt_c=base.nt_c,
+                     sa=plan.sa, sb=plan.sb)
+    if sync:
+        jax.block_until_ready(out)
+    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+    return out, timings
+
+
+def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
+                 note: str = ""):
+    """Full f64 multiply through the Ozaki-slice engine; returns a
+    SpGEMMResult (TileMat C, f64 values) shaped like the other tiled
+    backends (ops/spgemm.py). Raises OzakiOverflow when the int32
+    accumulation bound fails — callers fall back to the double-double
+    scan engine."""
+    from spgemm_tpu.ops.spgemm import SpGEMMResult, _compact_to_tilemat
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    plan = build_ozaki_plan(a, b)
+    # prep (slab/slice packing) vs symbolic (pair expansion + C-tile
+    # dictionary + bound checks) split, like the other tiled backends
+    timings["symbolic_ms"] = max(
+        0.0, (time.perf_counter() - t0) * 1e3 - plan.prep_ms)
+    timings["prep_ms"] = plan.prep_ms
+    base = plan.base
+
+    if base.nt_c == 0:
+        c = _compact_to_tilemat(
+            base.ctrow, base.ctcol,
+            np.zeros((0, base.tm, base.tn), np.float64),
+            np.zeros((0, base.tm, base.tn), np.float32),
+            (a.m, b.n), a.tm, b.tn)
+        return SpGEMMResult(c=c, schedule=plan,
+                            timings_ms={**timings, "upload_ms": 0.0,
+                                        "numeric_ms": 0.0,
+                                        "compact_ms": 0.0},
+                            stats={"backend": "ozaki", "num_pairs": 0.0,
+                                   "numblkC_candidate": 0.0,
+                                   "numblkC": 0.0, "nnzC": 0.0})
+
+    (c_hi, c_lo, c_cnt), t_num = ozaki_numeric(plan, device=device,
+                                               sync=sync)
+    timings.update(t_num)
+
+    t0 = time.perf_counter()
+    cube = ozaki_assemble(plan, c_hi, c_lo, c_cnt, (a.m, b.n))
+    c = _compact_to_tilemat(
+        base.ctrow, base.ctcol, cube, np.asarray(c_cnt),
+        (a.m, b.n), a.tm, b.tn)
+    timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+
+    backend_used = f"ozaki(S={plan.sa}x{plan.sb})"
+    if note:
+        backend_used += f"({note})"
+    stats = {
+        "num_pairs": float(base.num_pairs),
+        "numblkC_candidate": float(base.nt_c),
+        "numblkC": float(c.nt),
+        "nnzC": float(c.nnz),
+        "backend": backend_used,
+        "padding_ratio": base.padding_ratio(),
+        "slices": float(plan.sa * plan.sb),
+    }
+    return SpGEMMResult(c=c, schedule=plan, timings_ms=timings, stats=stats)
+
+
+def ozaki_assemble(plan: OzakiPlan, c_hi, c_lo, c_cnt,
+                   shape: tuple[int, int]) -> np.ndarray:
+    """Host epilogue: f64 = (hi + lo) * 2^(Ea_r + Eb_c - 14), applied
+    with np.ldexp (exact, full f64 exponent range). Returns the per-tile
+    f64 value cube (nt_c, tm, tn)."""
+    base = plan.base
+    hi = np.asarray(c_hi, np.float64)
+    lo = np.asarray(c_lo, np.float64)
+    v = hi + lo
+    er = plan.ea.reshape(-1, base.tm)[np.asarray(base.ctrow, np.int64)]
+    ec = plan.eb.reshape(-1, base.tn)[np.asarray(base.ctcol, np.int64)]
+    ex = (er[:, :, None] + ec[:, None, :] - 14).astype(np.int64)
+    return np.ldexp(v, ex)

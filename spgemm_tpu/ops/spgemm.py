@@ -231,15 +231,25 @@ def spgemm(
           padding, the always-feasible fallback.
       "pallas" — fused per-C-tile pair-DMA kernel; needs 128-aligned
           tiles on hardware and a pair list that fits SMEM.
+      "ozaki"  — exact f64 via int8 slice-pair MXU matmuls
+          (ops/ozaki.py); the structured-f64 path, no x64 needed.
     """
     acc_dtype = acc_dtype or compute_dtype
+    if backend == "ozaki":
+        # Ozaki-slice f64 engine: exact int8 slice-pair matmuls on the
+        # MXU, no x64 needed (ops/ozaki.py)
+        from spgemm_tpu.ops.ozaki import spgemm_ozaki
+
+        return spgemm_ozaki(a, b, device=device, sync=sync)
     if (jnp.dtype(compute_dtype) == jnp.float64
             and not jax.config.jax_enable_x64 and backend != "esc"):
         # the ESC route runs f64 through the double-double scan (f32
-        # device arithmetic) and needs no x64
+        # device arithmetic) and the ozaki route through exact int8
+        # slice matmuls — neither needs x64
         raise ValueError(
             "float64 SpGEMM needs jax_enable_x64=True "
-            "(jax.config.update('jax_enable_x64', True))"
+            "(jax.config.update('jax_enable_x64', True)), or use "
+            "backend='ozaki' / backend='esc'"
         )
     timings: dict[str, float] = {}
 
@@ -539,11 +549,25 @@ def spgemm_csr(
     if backend == "auto":
         f64 = jnp.dtype(kw.get("compute_dtype", jnp.float32)) \
             == jnp.dtype(jnp.float64)
-        if f64 and not jax.config.jax_enable_x64:
-            # the double-double scan engine IS the f64 path on f32-only
-            # hardware (any structure) — without it, the tiled backends
-            # would raise for lack of x64
-            return _spgemm_csr_esc(a, b, aat=aat, **kw)
+        if f64:
+            # f64: structured patterns run the Ozaki-slice engine (exact
+            # int8 slice-pair matmuls on the MXU, ops/ozaki.py — needs
+            # no x64 and beats both the double-double scan and XLA's
+            # emulated-f64 path); unstructured patterns — where tiling
+            # itself is the wrong formulation — and problems whose int32
+            # accumulation bound fails run the double-double scan (or,
+            # with x64 enabled, fall through to the occupancy routing)
+            if tile_occupancy_estimate(a, tm, tn) >= ESC_OCCUPANCY_TH:
+                from spgemm_tpu.ops.ozaki import OzakiOverflow
+
+                kw2 = {k: v for k, v in kw.items() if k != "backend"}
+                try:
+                    return _spgemm_csr_tiled_f64(a, b, aat=aat, tm=tm,
+                                                 tn=tn, **kw2)
+                except OzakiOverflow:
+                    pass
+            if not jax.config.jax_enable_x64:
+                return _spgemm_csr_esc(a, b, aat=aat, **kw)
         occ = tile_occupancy_estimate(a, tm, tn)
         if occ < ESC_OCCUPANCY_TH or (
             occ < ESC_STRUCTURED_OCC_TH
@@ -555,19 +579,32 @@ def spgemm_csr(
     at = csr_to_tiles(a, tm, tn)
     # Inner blocking must agree: A tiles are (tm, tn), so the B-role matrix
     # is tiled (tn, tn) and C comes out (tm, tn).
+    bt = _tile_b_role(a, b, at, aat, tm, tn)
+    res = spgemm(at, bt, **kw)
+    return _csr_result_tail(res, a, b, aat)
+
+
+def _tile_b_role(a: CSR, b: CSR | None, at: TileMat, aat: bool,
+                 tm: int, tn: int) -> TileMat:
+    """Derive the tiled B-role matrix (A, A^T, or explicit B) with the
+    inner-blocking agreement rule (A tiles (tm, tn) -> B tiles (tn, tn))."""
     if aat:
         if b is not None:
             raise ValueError("pass either b or aat=True, not both")
-        bt = at.transpose_tiles() if tm == tn else csr_to_tiles(
-            a.transpose(), tn, tn
-        )
-    elif b is None:
+        return at.transpose_tiles() if tm == tn else csr_to_tiles(
+            a.transpose(), tn, tn)
+    if b is None:
         if a.m != a.n:
-            raise ValueError("C = A^2 requires square A (reference main.cu:102-106)")
-        bt = at if tm == tn else csr_to_tiles(a, tn, tn)
-    else:
-        bt = csr_to_tiles(b, tn, tn)
-    res = spgemm(at, bt, **kw)
+            raise ValueError(
+                "C = A^2 requires square A (reference main.cu:102-106)")
+        return at if tm == tn else csr_to_tiles(a, tn, tn)
+    return csr_to_tiles(b, tn, tn)
+
+
+def _csr_result_tail(res: SpGEMMResult, a: CSR, b: CSR | None,
+                     aat: bool) -> tuple[CSR, SpGEMMResult]:
+    """Shared spgemm_csr epilogue: CSR extraction + reference-contract
+    stats (nnzCub base, compression, GFLOPS — main.cu:155-162)."""
     c_csr = res.c.to_csr()
     nnz_cub = flop_count_spgemm(a, b if b is not None else
                                 (a.transpose() if aat else a))
@@ -578,6 +615,21 @@ def spgemm_csr(
     if total_device_ms > 0:
         res.stats["gflops"] = 2.0 * nnz_cub / (total_device_ms * 1e6)
     return c_csr, res
+
+
+def _spgemm_csr_tiled_f64(a: CSR, b: CSR | None, *, aat: bool = False,
+                          tm: int = 16, tn: int = 128, compute_dtype=None,
+                          device=None, sync: bool = True,
+                          **_ignored) -> tuple[CSR, SpGEMMResult]:
+    """Structured-f64 branch of spgemm_csr: tile + Ozaki-slice engine
+    (exact int8 slice-pair matmuls, ops/ozaki.py). Raises OzakiOverflow
+    (caught by the caller, which falls back to the double-double scan)
+    when the int32 accumulation bound fails."""
+    at = csr_to_tiles(a, tm, tn)
+    bt = _tile_b_role(a, b, at, aat, tm, tn)
+    res = spgemm(at, bt, backend="ozaki", compute_dtype=jnp.float64,
+                 device=device, sync=sync)
+    return _csr_result_tail(res, a, b, aat)
 
 
 def _spgemm_csr_esc(a: CSR, b: CSR | None, *, aat: bool = False,

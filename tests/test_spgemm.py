@@ -224,10 +224,11 @@ def test_auto_routes_low_reuse_to_esc():
     assert golden.drop_explicit_zeros(c2).allclose(ref2, rtol=1e-5)
 
 
-def test_f64_auto_routes_to_dd_without_x64():
-    """spgemm_csr(compute_dtype=f64) on a STRUCTURED matrix must route
-    auto to the double-double scan engine when x64 is off (the tiled
-    backends have no f64 hardware path), instead of raising."""
+def test_f64_auto_routes_without_x64():
+    """spgemm_csr(compute_dtype=f64) with x64 off must not raise:
+    STRUCTURED matrices route to the Ozaki-slice engine (exact int8
+    slice matmuls, ops/ozaki.py), unstructured ones to the
+    double-double scan — both f64-correct on f32-only hardware."""
     import jax as _jax
     import jax.numpy as _jnp
 
@@ -240,10 +241,31 @@ def test_f64_auto_routes_to_dd_without_x64():
     _jax.config.update("jax_enable_x64", False)  # conftest turns it on
     try:
         c, res = spgemm_csr(a, compute_dtype=_jnp.float64, backend="auto")
+        # unstructured -> double-double scan
+        au = _rand_unstructured(rng)
+        cu, resu = spgemm_csr(au, compute_dtype=_jnp.float64,
+                              backend="auto")
     finally:
         _jax.config.update("jax_enable_x64", True)
-    assert res.stats["backend"] == "esc"
+    assert str(res.stats["backend"]).startswith("ozaki")
     ref = golden.spgemm_scipy(a, a)
     got = golden.drop_explicit_zeros(c)
     assert got.pattern_equal(ref)
     np.testing.assert_array_equal(got.data, ref.data)
+    assert resu.stats["backend"] == "esc"
+    refu = golden.spgemm_scipy(au, au)
+    gotu = golden.drop_explicit_zeros(cu)
+    assert gotu.pattern_equal(refu)
+    np.testing.assert_array_equal(gotu.data, refu.data)
+
+
+def _rand_unstructured(rng):
+    """Sparse enough that tile occupancy falls below the ESC threshold
+    (~1 nnz per occupied 16x128 tile)."""
+    from spgemm_tpu.models.csr import CSR
+
+    n = 4096
+    r = rng.integers(0, n, 4000)
+    c = rng.integers(0, n, 4000)
+    return CSR.from_coo(r, c, rng.integers(1, 10, 4000).astype(np.float64),
+                        (n, n))

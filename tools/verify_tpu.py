@@ -120,8 +120,10 @@ cdd0, rdd0 = spgemm_csr(ar, compute_dtype=jnp.float64, backend="esc")
 okdd0 = np.allclose(cdd0.to_dense(), ard @ ard, rtol=1e-12, atol=1e-12)
 print(f"fp64 via esc double-double (no x64) ok={okdd0}")
 
-# r3: f64 through backend="auto" on a STRUCTURED matrix must route to
-# the double-double engine (no x64 on hardware), not raise
+# r3: f64 through backend="auto" on a STRUCTURED matrix routes to the
+# Ozaki-slice engine (exact int8 slice-pair MXU matmuls, ops/ozaki.py)
+# — must be BIT-exact on the reference's integer value model, and the
+# int8 -> int32 dot_general must compile on real Mosaic/XLA:TPU
 sr = np.repeat(np.arange(512), 65)
 sc = sr + np.tile(np.arange(-32, 33), 512)
 sk = (sc >= 0) & (sc < 512)
@@ -129,11 +131,24 @@ astr = CSR.from_coo(sr[sk], sc[sk],
                     ((sr[sk] * 3 + sc[sk]) % 9 + 1).astype(np.float64),
                     (512, 512))
 cda, rda = spgemm_csr(astr, compute_dtype=jnp.float64, backend="auto")
-okda = (rda.stats["backend"] == "esc"
+okda = (str(rda.stats["backend"]).startswith("ozaki")
         and np.array_equal(cda.to_dense(),
                            astr.to_dense() @ astr.to_dense()))
-print(f"fp64 auto->esc structured ok={okda}")
+print(f"fp64 auto->ozaki structured ok={okda} "
+      f"(backend={rda.stats['backend']})")
 fails += not okda
+# general-significand f64 through ozaki (S=8x8, 64 slice pairs; also
+# checks the XLA TwoSum combine is not algebraically folded on TPU)
+rngo = np.random.default_rng(42)
+astg = CSR.from_coo(sr[sk], sc[sk], rngo.standard_normal(int(sk.sum())),
+                    (512, 512))
+cdg, rdg = spgemm_csr(astg, compute_dtype=jnp.float64, backend="auto")
+refg = astg.to_dense() @ astg.to_dense()
+okdg = (str(rdg.stats["backend"]).startswith("ozaki")
+        and np.allclose(cdg.to_dense(), refg, rtol=1e-12, atol=1e-12))
+print(f"fp64 ozaki general values ok={okdg} "
+      f"(backend={rdg.stats['backend']})")
+fails += not okdg
 fails += not okdd0
 
 # SpMM strip kernel on hardware
