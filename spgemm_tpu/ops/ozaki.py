@@ -96,7 +96,9 @@ def _slice_int8(dense: np.ndarray, exp_of: np.ndarray, s: int) -> np.ndarray:
 
 @dataclasses.dataclass
 class OzakiPlan:
-    base: GustavsonPlan          # geometry + occupancy slabs (f32)
+    base: GustavsonPlan          # geometry + C-tile dictionary
+    a_occ: np.ndarray            # (gk, max_a*tm, tk) int8 0/1 occupancy
+    b_occ: np.ndarray            # (gk, tk, max_b*tn) int8
     a_sl: np.ndarray             # (Sa, gk, max_a*tm, tk) int8
     b_sl: np.ndarray             # (Sb, gk, tk, max_b*tn) int8
     ea: np.ndarray               # (gm*tm,) int64 per-row scale exponents
@@ -212,9 +214,18 @@ def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
     b_sl = b_sl.reshape(sb, gk, max_b, tk, tn).transpose(
         0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn)
 
+    # int8 occupancy: the count matmul is exact in int32 (0/1 inputs,
+    # per-element count <= pairs * tk << 2^31) and the upload shrinks 4x
+    # vs the f32 occ slabs — at cant scale the occ planes would
+    # otherwise dominate the H2D traffic (160 MB vs 40 MB of slices)
+    a_occ = base.a3_occ.astype(np.int8)
+    b_occ = base.b3_occ.astype(np.int8)
+    base.a3_occ = base.b3_occ = None  # drop the f32 copies
+
     prep_ms = (time.perf_counter() - t_prep) * 1e3
     return OzakiPlan(
-        base=base, a_sl=a_sl, b_sl=b_sl, ea=ea, eb=eb, sa=sa, sb=sb,
+        base=base, a_occ=a_occ, b_occ=b_occ, a_sl=a_sl, b_sl=b_sl,
+        ea=ea, eb=eb, sa=sa, sb=sb,
         prep_ms=prep_ms + base.prep_ms,
         symbolic_ms=base.symbolic_ms,
     )
@@ -271,11 +282,8 @@ def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
         scale = jnp.float32(2.0 ** (-7 * p))
         c_hi, c_lo = _dd_add(c_hi, c_lo, mh * scale, ml * scale)
 
-    po = jax.lax.dot_general(
-        a3_occ, b3_occ, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    cnt = jnp.zeros((stride, tm, tn), jnp.float32)
+    po = slab_mm(a3_occ, b3_occ, jnp.int32)
+    cnt = jnp.zeros((stride, tm, tn), jnp.int32)
     cnt = cnt.at[seg].add(to_pairs(po))[:nt_c]
     return c_hi, c_lo, cnt
 
@@ -292,7 +300,7 @@ def ozaki_numeric(plan: OzakiPlan, device=None, sync: bool = True):
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
     arrs = jax.device_put(
-        (plan.a_sl, plan.b_sl, base.a3_occ, base.b3_occ, base.seg), device)
+        (plan.a_sl, plan.b_sl, plan.a_occ, plan.b_occ, base.seg), device)
     jax.block_until_ready(arrs)
     timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
