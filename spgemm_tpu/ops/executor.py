@@ -328,3 +328,106 @@ class EscExecutor:
         probe = jax.device_put(jnp.zeros(8, jnp.float32))
         return chained_device_ms(chain, probe, *self._vals, self._meta,
                                  repeats=repeats, loop=loop)
+
+
+class OzakiExecutor:
+    """Resident-operand executor for the Ozaki-slice f64 engine
+    (ops/ozaki.py) — the structured-f64 third of the build-once/run-many
+    serving triad (reference REPEAT_NUM resident loop `common.h:91`;
+    step-4-only value re-run `tilespgemm-cuda.h:2649-2728`).
+
+    The int8 slice planes, int8 occupancy slabs and the seg map stay in
+    HBM. `update_values(a, b)` re-slices new f64 values for the SAME
+    tile pattern (the geometry/base plan and its C-tile dictionary are
+    reused; only ops/ozaki.py:slice_and_pack reruns) and uploads the new
+    slice planes — the adaptive slice counts may change with the values,
+    in which case the jitted core recompiles for the new (Sa, Sb).
+    """
+
+    def __init__(self, plan, a: TileMat, b: TileMat, *, device=None):
+        from spgemm_tpu.ops.ozaki import OzakiPlan
+
+        if not isinstance(plan, OzakiPlan):
+            raise TypeError("OzakiExecutor wraps an OzakiPlan "
+                            "(build with build_ozaki_plan)")
+        self.plan = plan
+        self.device = device
+        # pattern identity for update_values (exact arrays, like
+        # StripExecutor.a_struct)
+        self._struct = (a.tm, a.tn, a.trow.copy(), b.tcol.copy(),
+                        a.tnnz_ptr.copy(), b.tnnz_ptr.copy())
+        self._a, self._b = a, b
+        self._put = (lambda x: jax.device_put(x, device)) if device \
+            else jax.device_put
+        self._dev = [self._put(x) for x in
+                     (plan.a_sl, plan.b_sl, plan.a_occ, plan.b_occ,
+                      jnp.asarray(plan.base.seg))]
+        jax.block_until_ready(self._dev)
+
+    def _kw(self):
+        base = self.plan.base
+        return dict(gk=base.gk, max_a=base.max_a, max_b=base.max_b,
+                    tm=base.tm, tn=base.tn, nt_c=base.nt_c,
+                    sa=self.plan.sa, sb=self.plan.sb)
+
+    def run(self, sync: bool = True):
+        """One dispatch; returns device (c_hi, c_lo, c_cnt)."""
+        from spgemm_tpu.ops.ozaki import _ozaki_jit
+
+        out = _ozaki_jit(*self._dev, **self._kw())
+        if sync:
+            jax.block_until_ready(out)
+        return out
+
+    def assemble(self, out) -> np.ndarray:
+        """Host epilogue: full-range f64 scaling (ozaki_assemble)."""
+        from spgemm_tpu.ops.ozaki import ozaki_assemble
+
+        return ozaki_assemble(self.plan, *out, (self._a.m, self._b.n))
+
+    def update_values(self, a: TileMat, b: TileMat) -> None:
+        """Pattern-fixed f64 value refresh: re-slice + upload only."""
+        from spgemm_tpu.ops.ozaki import slice_and_pack
+
+        tm0, tn0, trow0, tcol0, annz0, bnnz0 = self._struct
+        if not (a.tm == tm0 and a.tn == tn0
+                and np.array_equal(a.trow, trow0)
+                and np.array_equal(b.tcol, tcol0)
+                and np.array_equal(a.tnnz_ptr, annz0)
+                and np.array_equal(b.tnnz_ptr, bnnz0)):
+            raise ValueError(
+                "update_values requires the exact same tile structure")
+        a_sl, b_sl, ea, eb, sa, sb = slice_and_pack(a, b, self.plan.base)
+        self.plan.a_sl, self.plan.b_sl = a_sl, b_sl
+        self.plan.ea, self.plan.eb = ea, eb
+        self.plan.sa, self.plan.sb = sa, sb
+        self._a, self._b = a, b
+        self._dev[0] = self._put(a_sl)
+        self._dev[1] = self._put(b_sl)
+        jax.block_until_ready((self._dev[0], self._dev[1]))
+
+    def time_numeric(self, loop: int = 20, repeats: int = 2
+                     ) -> tuple[float, float]:
+        """Amortized per-dispatch device time (chained, RTT-subtracted —
+        same methodology as StripExecutor.time_numeric)."""
+        from spgemm_tpu.ops.ozaki import ozaki_core
+        from spgemm_tpu.utils.timing import chained_device_ms
+
+        kw = self._kw()
+
+        @jax.jit
+        def chain(a_sl, b_sl, ao, bo, seg):
+            # all operands are integer: the loop-carried f32 acc casts
+            # to an int8 zero added to the slice plane for the data
+            # dependency (the usual acc*1e-30 float noise term would
+            # not type-check)
+            def body(i, acc):
+                dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
+                h, l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg, **kw)
+                return (acc + jnp.sum(h[:1])
+                        + jnp.sum(c[:1]).astype(jnp.float32))
+            return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+        probe = self._put(jnp.zeros(8, jnp.float32))
+        return chained_device_ms(chain, probe, *self._dev,
+                                 repeats=repeats, loop=loop)

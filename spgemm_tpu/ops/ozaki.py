@@ -32,6 +32,13 @@ including every integer-valued model — the result is BIT-EXACT f64.
 Geometry (k-group slabs, C-tile dictionary, occupancy counts) is shared
 with the Gustavson slab backend (ops/gustavson.py:build_gustavson_plan);
 only the value planes differ (int8 slice stacks instead of f32 slabs).
+
+The slicing idea is the Ozaki error-free matrix-product transformation
+(Ozaki, Ogita, Oishi, Rump 2012) in its integer-unit form (cf. Ootomo,
+Ozaki, Yokota 2024's DGEMM on int8 tensor cores); the formulation here
+(per-row/column scales, value-adaptive S, int32 scatter accumulation
+into a sparse C-tile dictionary, double-float device combine) is
+original to this engine.
 """
 
 from __future__ import annotations
@@ -138,10 +145,34 @@ def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
     (pairs hitting that C tile) * tk * min(Sa, Sb) products of
     magnitude <= 127^2 — verified against 2^31 with headroom."""
     base = build_gustavson_plan(a, b, dtype=np.float32, values=False)
+
+    t_prep = time.perf_counter()
+    a_sl, b_sl, ea, eb, sa, sb = slice_and_pack(a, b, base)
+    # int8 occupancy: the count matmul is exact in int32 (0/1 inputs,
+    # per-element count <= pairs * tk << 2^31) and the upload shrinks 4x
+    # vs the f32 occ slabs — at cant scale the occ planes would
+    # otherwise dominate the H2D traffic (160 MB vs 40 MB of slices)
+    a_occ = base.a3_occ.astype(np.int8)
+    b_occ = base.b3_occ.astype(np.int8)
+    base.a3_occ = base.b3_occ = None  # drop the f32 copies
+
+    prep_ms = (time.perf_counter() - t_prep) * 1e3
+    return OzakiPlan(
+        base=base, a_occ=a_occ, b_occ=b_occ, a_sl=a_sl, b_sl=b_sl,
+        ea=ea, eb=eb, sa=sa, sb=sb,
+        prep_ms=prep_ms + base.prep_ms,
+        symbolic_ms=base.symbolic_ms,
+    )
+
+
+def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan):
+    """Value-dependent half of the plan build: scales, adaptive slice
+    counts, int8 slicing, slab packing, feasibility checks. Reused by
+    OzakiExecutor.update_values (pattern-fixed value refresh: the
+    geometry/base plan is reused, only this function reruns)."""
     gk, max_a, max_b = base.gk, base.max_a, base.max_b
     tm, tk, tn = base.tm, base.tk, base.tn
 
-    t_prep = time.perf_counter()
     ad = a.dense(np.float64)
     bd = b.dense(np.float64)
     if not (np.isfinite(ad).all() and np.isfinite(bd).all()):
@@ -214,21 +245,7 @@ def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
     b_sl = b_sl.reshape(sb, gk, max_b, tk, tn).transpose(
         0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn)
 
-    # int8 occupancy: the count matmul is exact in int32 (0/1 inputs,
-    # per-element count <= pairs * tk << 2^31) and the upload shrinks 4x
-    # vs the f32 occ slabs — at cant scale the occ planes would
-    # otherwise dominate the H2D traffic (160 MB vs 40 MB of slices)
-    a_occ = base.a3_occ.astype(np.int8)
-    b_occ = base.b3_occ.astype(np.int8)
-    base.a3_occ = base.b3_occ = None  # drop the f32 copies
-
-    prep_ms = (time.perf_counter() - t_prep) * 1e3
-    return OzakiPlan(
-        base=base, a_occ=a_occ, b_occ=b_occ, a_sl=a_sl, b_sl=b_sl,
-        ea=ea, eb=eb, sa=sa, sb=sb,
-        prep_ms=prep_ms + base.prep_ms,
-        symbolic_ms=base.symbolic_ms,
-    )
+    return a_sl, b_sl, ea, eb, sa, sb
 
 
 # --- device numeric ---------------------------------------------------------

@@ -141,3 +141,67 @@ def test_esc_executor_time_numeric(make_random_csr):
                         mode=mode)
         ms, rtt = ex.time_numeric(loop=2, repeats=1)
         assert ms >= 0 and rtt >= 0
+
+
+def test_ozaki_executor_run_many_and_update_values():
+    """OzakiExecutor: resident run-many + pattern-fixed f64 value
+    refresh (re-slice + upload only; Sa/Sb may adapt to new values)."""
+    import scipy.sparse as sp
+
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.models.tile import csr_to_tiles
+    from spgemm_tpu.ops.executor import OzakiExecutor
+    from spgemm_tpu.ops.ozaki import build_ozaki_plan
+
+    rng = np.random.default_rng(21)
+    n = 400
+    offs = np.arange(-5, 6)
+    r = np.repeat(np.arange(n), offs.size)
+    c = r + np.tile(offs, n)
+    keep = (c >= 0) & (c < n)
+    r, c = r[keep], c[keep]
+
+    def multiply(vals):
+        a = CSR.from_coo(r, c, vals, (n, n))
+        return a
+
+    a1 = multiply(rng.integers(1, 10, r.size).astype(np.float64))
+    at = csr_to_tiles(a1, 16, 128)
+    bt = csr_to_tiles(a1, 128, 128)
+    plan = build_ozaki_plan(at, bt)
+    ex = OzakiExecutor(plan, at, bt)
+    out = ex.run()
+    cube = ex.assemble(out)
+
+    def oracle(a):
+        A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=(n, n))
+        return (A @ A).toarray()
+
+    def collect(cube, cnt):
+        G = np.zeros((at.gm * 16, bt.gn * 128))
+        for i, (tr, tc) in enumerate(zip(np.asarray(plan.ctrow),
+                                         np.asarray(plan.ctcol))):
+            G[tr * 16:(tr + 1) * 16, tc * 128:(tc + 1) * 128] += cube[i]
+        return G[:n, :n]
+
+    assert np.array_equal(collect(cube, out[2]), oracle(a1))
+    assert plan.sa == 1  # integer model
+
+    # same pattern, new general-f64 values -> S adapts, values correct
+    a2 = multiply(rng.standard_normal(r.size))
+    at2 = csr_to_tiles(a2, 16, 128)
+    bt2 = csr_to_tiles(a2, 128, 128)
+    ex.update_values(at2, bt2)
+    assert plan.sa == 8
+    out2 = ex.run()
+    cube2 = ex.assemble(out2)
+    ref2 = oracle(a2)
+    assert np.abs(collect(cube2, out2[2]) - ref2).max() <= \
+        1e-13 * np.abs(ref2).max()
+
+    # pattern mismatch must be rejected
+    a3 = CSR.from_coo(np.array([0]), np.array([0]), np.array([1.0]),
+                      (n, n))
+    with pytest.raises(ValueError):
+        ex.update_values(csr_to_tiles(a3, 16, 128),
+                         csr_to_tiles(a3, 128, 128))
