@@ -985,3 +985,186 @@ def spgemm_sharded_ring(
         plan.ctrow, plan.ctcol, keep_val, keep_cnt,
         (a.m, b.n), a.tm, b.tn,
     )
+
+
+# --- Distributed Ozaki f64 path ---------------------------------------------
+
+
+@dataclasses.dataclass
+class OzakiDistPlan:
+    ndev: int
+    gk: int
+    max_a: int
+    max_b: int
+    tm: int
+    tn: int
+    sa: int             # unified slice counts (max over shards)
+    sb: int
+    s_max: int
+    a_sl: np.ndarray    # (D, Sa, gk, max_a*tm, tk) int8
+    a_occ: np.ndarray   # (D, gk, max_a*tm, tk) int8
+    b_sl: np.ndarray    # (D, Sb, gk_shard, tk, max_b*tn) int8 (k-sharded)
+    b_occ: np.ndarray   # (D, gk_shard, tk, max_b*tn) int8
+    seg: np.ndarray     # (D, gk*max_a*max_b) local segments, pad -> s_max
+    seg_counts: np.ndarray
+    ea: np.ndarray      # (D, rows_pad) per-shard LOCAL row scale exps
+    eb: np.ndarray      # (gn*tn,) global column scale exponents
+    ctrow: np.ndarray   # global C tile coords (concatenated device order)
+    ctcol: np.ndarray
+    ct_local: list      # per-device (local ctrow, ctcol) for the scaling
+
+
+def plan_ozaki_partition(a: TileMat, b: TileMat, ndev: int) -> OzakiDistPlan:
+    """Row-partition A (pair-count balanced, same policy as the
+    Gustavson dist plan) and build one Ozaki slice plan per device.
+    Slice counts are unified to the max over shards (shard_map needs
+    identical static shapes); the padding slices are exact zeros. B is
+    sliced once against its GLOBAL per-column scales (identical on every
+    shard) and sharded over k, all-gathered over ICI on device."""
+    from spgemm_tpu.ops.gustavson import build_gustavson_plan
+    from spgemm_tpu.ops.ozaki import slice_and_pack
+
+    k = a.tcol.astype(np.int64)
+    bptr = b.tptr.astype(np.int64)
+    pair_per_tile = bptr[k + 1] - bptr[k]
+    pairs_per_row = np.zeros(a.gm, dtype=np.int64)
+    np.add.at(pairs_per_row, a.trow, pair_per_tile)
+    cum = np.cumsum(pairs_per_row)
+    total = int(cum[-1]) if cum.size else 0
+    bounds = np.searchsorted(cum, np.arange(1, ndev) * (total / ndev))
+    row_start = (np.concatenate([[0], bounds + 1]) if ndev > 1
+                 else np.array([0]))
+    row_end = (np.concatenate([bounds + 1, [a.gm]]) if ndev > 1
+               else np.array([a.gm]))
+
+    shards = []
+    for d in range(ndev):
+        a_d = a.slice_tile_rows(int(row_start[d]), int(row_end[d]))
+        base_d = build_gustavson_plan(a_d, b, dtype=np.float32,
+                                      values=False)
+        sl = slice_and_pack(a_d, b, base_d)
+        shards.append((a_d, base_d, sl))
+
+    gk = shards[0][1].gk
+    tm, tk, tn = a.tm, a.tn, b.tn
+    max_a = max(1, max(p.max_a for _, p, _ in shards))
+    max_b = max(1, max(p.max_b for _, p, _ in shards))
+    s_max = max(1, max(p.nt_c for _, p, _ in shards))
+    sa = max(s[4] for _, _, s in shards)
+    sb = max(s[5] for _, _, s in shards)
+
+    a_sl = np.zeros((ndev, sa, gk, max_a * tm, tk), np.int8)
+    a_occ = np.zeros((ndev, gk, max_a * tm, tk), np.int8)
+    seg = np.full((ndev, gk * max_a * max_b), s_max, dtype=np.int32)
+    ea = np.zeros((ndev, a.gm * tm), np.int64)
+    ctrow_parts, ctcol_parts, ct_local = [], [], []
+    for d, (a_d, p, (asl_d, _, ea_d, _, sa_d, _)) in enumerate(shards):
+        a_sl[d, :sa_d, :, : p.max_a * tm] = asl_d
+        a_occ[d, :, : p.max_a * tm] = p.a3_occ.astype(np.int8)
+        src = p.seg.reshape(gk, p.max_a, p.max_b)
+        dst = seg[d].reshape(gk, max_a, max_b)
+        dst[:, : p.max_a, : p.max_b] = np.where(src == p.nt_c, s_max, src)
+        # ea_d is LOCAL to the shard (slice_tile_rows rebases rows)
+        ea[d, : ea_d.size] = ea_d
+        ctrow_parts.append(p.ctrow + int(row_start[d]))
+        ctcol_parts.append(p.ctcol)
+        ct_local.append((np.asarray(p.ctrow), np.asarray(p.ctcol)))
+
+    # B slices: global column scales make every shard's B stack
+    # identical — take shard 0's, pad Sb/max_b, shard over k
+    p0 = shards[0][1]
+    bsl0 = shards[0][2][1]                       # (sb0, gk, tk, mb0*tn)
+    eb = shards[0][2][3]
+    gk_shard = cdiv(gk, ndev)
+    b_sl = np.zeros((ndev, sb, gk_shard, tk, max_b * tn), np.int8)
+    b_occ = np.zeros((ndev, gk_shard, tk, max_b * tn), np.int8)
+    bsrc = np.zeros((sb, gk_shard * ndev, tk, max_b * tn), np.int8)
+    bsrc[: bsl0.shape[0], :gk, :, : p0.max_b * tn] = bsl0
+    osrc = np.zeros((gk_shard * ndev, tk, max_b * tn), np.int8)
+    osrc[:gk, :, : p0.max_b * tn] = p0.b3_occ.astype(np.int8)
+    for d in range(ndev):
+        b_sl[d] = bsrc[:, d * gk_shard:(d + 1) * gk_shard]
+        b_occ[d] = osrc[d * gk_shard:(d + 1) * gk_shard]
+
+    return OzakiDistPlan(
+        ndev=ndev, gk=gk, max_a=max_a, max_b=max_b, tm=tm, tn=tn,
+        sa=sa, sb=sb, s_max=s_max,
+        a_sl=a_sl, a_occ=a_occ, b_sl=b_sl, b_occ=b_occ, seg=seg,
+        seg_counts=np.array([p.nt_c for _, p, _ in shards]),
+        ea=ea, eb=eb,
+        ctrow=np.concatenate(ctrow_parts) if shards else
+        np.zeros(0, INDEX_DTYPE),
+        ctcol=np.concatenate(ctcol_parts) if shards else
+        np.zeros(0, INDEX_DTYPE),
+        ct_local=ct_local,
+    )
+
+
+def spgemm_sharded_ozaki(a: TileMat, b: TileMat, mesh: Mesh):
+    """Distributed EXACT-f64 C = A @ B over `mesh` (axis "x") through
+    the Ozaki-slice engine (ops/ozaki.py): A tile-rows partitioned per
+    device, int8 B slice stacks sharded over the inner dimension and
+    all-gathered over ICI inside the shard_map body, C tiles
+    owner-computed (no cross-device reduction). The f64 scaling epilogue
+    runs on host per shard. Completes the engines' SPMD coverage: the
+    reference has no f64-distributed counterpart (it is single-GPU,
+    SURVEY 2.7)."""
+    from spgemm_tpu.ops.ozaki import ozaki_assemble, ozaki_core
+
+    ndev = mesh.devices.size
+    plan = plan_ozaki_partition(a, b, ndev)
+
+    def device_fn(a_sl, a_occ, b_sl, b_occ, seg):
+        bsl_g = jax.lax.all_gather(
+            b_sl[0], "x", axis=1, tiled=True)[:, : plan.gk]
+        bocc_g = jax.lax.all_gather(
+            b_occ[0], "x", axis=0, tiled=True)[: plan.gk]
+        hi, lo, cnt = ozaki_core(
+            a_sl[0], bsl_g, a_occ[0], bocc_g, seg[0],
+            gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
+            tm=plan.tm, tn=plan.tn, nt_c=plan.s_max,
+            sa=plan.sa, sb=plan.sb)
+        return hi[None], lo[None], cnt[None]
+
+    fn = jax.jit(
+        jax.shard_map(
+            device_fn, mesh=mesh,
+            in_specs=(P("x"),) * 5,
+            out_specs=(P("x"), P("x"), P("x")),
+            check_vma=False,
+        )
+    )
+    hi_d, lo_d, cnt_d = fn(
+        jnp.asarray(plan.a_sl), jnp.asarray(plan.a_occ),
+        jnp.asarray(plan.b_sl), jnp.asarray(plan.b_occ),
+        jnp.asarray(plan.seg),
+    )
+    hi = np.asarray(hi_d, np.float64)
+    lo = np.asarray(lo_d, np.float64)
+    cnt = np.asarray(cnt_d)
+
+    # host epilogue: per-shard f64 scaling (LOCAL row scales, global
+    # column scales), then global compaction
+    vals, cnts = [], []
+    for d in range(ndev):
+        nc = int(plan.seg_counts[d])
+        if nc == 0:
+            continue
+        v = hi[d, :nc] + lo[d, :nc]
+        ctr_l, ctc_l = plan.ct_local[d]
+        er = plan.ea[d].reshape(-1, plan.tm)[ctr_l.astype(np.int64)]
+        ec = plan.eb.reshape(-1, plan.tn)[ctc_l.astype(np.int64)]
+        ex = (er[:, :, None] + ec[:, None, :] - 14).astype(np.int64)
+        vals.append(np.ldexp(v, ex))
+        cnts.append(cnt[d, :nc])
+
+    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
+
+    keep_val = (np.concatenate(vals) if vals
+                else np.zeros((0, plan.tm, plan.tn)))
+    keep_cnt = (np.concatenate(cnts) if cnts
+                else np.zeros((0, plan.tm, plan.tn), np.int32))
+    return _compact_to_tilemat(
+        plan.ctrow, plan.ctcol, keep_val, keep_cnt,
+        (a.m, b.n), a.tm, b.tn,
+    )

@@ -278,3 +278,66 @@ def test_init_multihost_single_process():
     from spgemm_tpu.parallel.dist import init_multihost
 
     assert init_multihost() == 1  # no coordinator: single-process no-op
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_ozaki_exact_f64(make_random_csr, ndev):
+    """Distributed Ozaki f64: integer value model must be BIT-exact
+    across shards (per-shard local row scales, global column scales)."""
+    import scipy.sparse as sp
+
+    from spgemm_tpu.parallel.dist import spgemm_sharded_ozaki
+
+    rng = np.random.default_rng(77)
+    n = 300
+    offs = np.arange(-4, 5)
+    r = np.repeat(np.arange(n), offs.size)
+    cc = r + np.tile(offs, n)
+    keep = (cc >= 0) & (cc < n)
+    r, cc = r[keep], cc[keep]
+    from spgemm_tpu.models.csr import CSR
+
+    a = CSR.from_coo(r, cc, rng.integers(1, 10, r.size).astype(np.float64),
+                     (n, n))
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    c = spgemm_sharded_ozaki(at, bt, make_mesh(ndev))
+    got = tiles_to_csr(c)
+    A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=(n, n))
+    ref = (A @ A).tocsr()
+    ref.sort_indices()
+    got_t = golden.drop_explicit_zeros(got)
+    assert got_t.nnz == ref.nnz
+    np.testing.assert_array_equal(got_t.indices, ref.indices)
+    np.testing.assert_array_equal(got_t.data, ref.data)
+
+
+def test_sharded_ozaki_general_values(make_random_csr):
+    """General f64 significands + wide exponents through the sharded
+    path (slice-count unification across shards, zero-padded slices)."""
+    import scipy.sparse as sp
+
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.parallel.dist import spgemm_sharded_ozaki
+
+    rng = np.random.default_rng(78)
+    n = 260
+    offs = np.arange(-3, 4)
+    r = np.repeat(np.arange(n), offs.size)
+    cc = r + np.tile(offs, n)
+    keep = (cc >= 0) & (cc < n)
+    r, cc = r[keep], cc[keep]
+    # first rows integer-valued, later rows gaussian: per-shard Sa differs
+    vals = rng.standard_normal(r.size)
+    vals[r < n // 2] = rng.integers(1, 8, int((r < n // 2).sum()))
+    a = CSR.from_coo(r, cc, vals, (n, n))
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    c = spgemm_sharded_ozaki(at, bt, make_mesh(4))
+    got = tiles_to_csr(c)
+    A = sp.csr_matrix((a.data, a.indices, a.indptr), shape=(n, n))
+    ref = (A @ A).toarray()
+    G = np.zeros((n, n))
+    gd = golden.drop_explicit_zeros(got)
+    G[np.repeat(np.arange(n), np.diff(gd.indptr)), gd.indices] = gd.data
+    assert np.abs(G - ref).max() <= 1e-13 * np.abs(ref).max()
