@@ -301,12 +301,27 @@ def _build_tilemat(
             rowptr=np.zeros((0, tm + 1), INDEX_DTYPE),
         )
 
-    new_tile = np.empty(nnz, dtype=bool)
+    # nnz-proportional temporaries go through the process buffer pool
+    # (utils/native.py): numpy munmaps big arrays on free, so fresh
+    # allocations would re-pay this host's ~11 s/GB first-touch cost on
+    # EVERY call — at cant-scale nnzC (12M) that made the host
+    # compaction 20 s. int32 ordinals (valid while nnz and nt*tm*mw fit
+    # int32 — checked) halve the traffic on top.
+    from spgemm_tpu.utils.native import pool_array
+
+    # int32 ordinals need nt*tm*mw (the largest derived key) in range;
+    # nt <= nnz bounds it without knowing nt yet
+    wide = nnz * tm * mw >= 2 ** 31 - 1
+    odt = np.int64 if wide else np.int32
+
+    new_tile = pool_array((nnz,), bool)
     new_tile[0] = True
     np.not_equal(tile_key[1:], tile_key[:-1], out=new_tile[1:])
     starts = np.flatnonzero(new_tile)
     nt = starts.size
-    tile_id = np.cumsum(new_tile) - 1  # (nnz,) ordinal per nonzero
+    tile_id = pool_array((nnz,), odt)
+    np.cumsum(new_tile, out=tile_id)
+    tile_id -= 1                       # (nnz,) ordinal per nonzero
 
     keys = tile_key[starts]
     trow = (keys // gn).astype(INDEX_DTYPE)
@@ -324,9 +339,14 @@ def _build_tilemat(
     # Per-row bitmasks: OR the bit contributions within runs of equal
     # (tile, row, word) — nonzeros are sorted, so runs are contiguous and a
     # single bitwise_or.reduceat covers the whole matrix.
-    flat_word = (tile_id * tm + ri.astype(np.int64)) * mw + ci // MASK_BITS
+    rowkey = pool_array((nnz,), odt)
+    np.multiply(tile_id, tm, out=rowkey)
+    rowkey += ri.astype(odt, copy=False)
+    flat_word = pool_array((nnz,), odt)
+    np.multiply(rowkey, mw, out=flat_word)
+    flat_word += (ci // MASK_BITS).astype(odt, copy=False)
     bits = (MASK_DTYPE(1) << (ci % MASK_BITS).astype(MASK_DTYPE)).astype(MASK_DTYPE)
-    word_start = np.empty(nnz, dtype=bool)
+    word_start = pool_array((nnz,), bool)
     word_start[0] = True
     np.not_equal(flat_word[1:], flat_word[:-1], out=word_start[1:])
     wstarts = np.flatnonzero(word_start)
@@ -334,9 +354,7 @@ def _build_tilemat(
     mask[flat_word[wstarts]] = np.bitwise_or.reduceat(bits, wstarts)
     mask = mask.reshape(nt, tm, mw)
 
-    row_counts = np.bincount(
-        tile_id * tm + ri.astype(np.int64), minlength=nt * tm
-    ).reshape(nt, tm)
+    row_counts = np.bincount(rowkey, minlength=nt * tm).reshape(nt, tm)
     rowptr = np.zeros((nt, tm + 1), dtype=INDEX_DTYPE)
     np.cumsum(row_counts, axis=1, out=rowptr[:, 1:])
 

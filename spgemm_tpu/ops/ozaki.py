@@ -368,10 +368,7 @@ def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
     timings.update(t_num)
 
     t0 = time.perf_counter()
-    cube = ozaki_assemble(plan, c_hi, c_lo, c_cnt, (a.m, b.n))
-    c = _compact_to_tilemat(
-        base.ctrow, base.ctcol, cube, np.asarray(c_cnt),
-        (a.m, b.n), a.tm, b.tn)
+    c = ozaki_compact(plan, c_hi, c_lo, c_cnt, (a.m, b.n))
     timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
 
     backend_used = f"ozaki(S={plan.sa}x{plan.sb})"
@@ -393,7 +390,8 @@ def ozaki_assemble(plan: OzakiPlan, c_hi, c_lo, c_cnt,
                    shape: tuple[int, int]) -> np.ndarray:
     """Host epilogue: f64 = (hi + lo) * 2^(Ea_r + Eb_c - 14), applied
     with np.ldexp (exact, full f64 exponent range). Returns the per-tile
-    f64 value cube (nt_c, tm, tn)."""
+    f64 value cube (nt_c, tm, tn). (Full-cube form — production goes
+    through ozaki_compact, which scales only the kept nonzeros.)"""
     base = plan.base
     hi = np.asarray(c_hi, np.float64)
     lo = np.asarray(c_lo, np.float64)
@@ -402,3 +400,40 @@ def ozaki_assemble(plan: OzakiPlan, c_hi, c_lo, c_cnt,
     ec = plan.eb.reshape(-1, base.tn)[np.asarray(base.ctcol, np.int64)]
     ex = (er[:, :, None] + ec[:, None, :] - 14).astype(np.int64)
     return np.ldexp(v, ex)
+
+
+def ozaki_compact(plan: OzakiPlan, c_hi, c_lo, c_cnt,
+                  shape: tuple[int, int]) -> TileMat:
+    """Fused scale + compact: select the structural nonzeros FIRST
+    (nnzC of nt_c*tm*tn positions), then add hi+lo in f64 and apply the
+    2^(Ea_r + Eb_c - 14) scales only on those — at cant scale this
+    avoids ~1 GB of full-cube f64 temporaries (this host backs fresh
+    pages at ~90 MB/s, so the full-cube epilogue cost 20+ s)."""
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+    from spgemm_tpu.models.tile import _build_tilemat, cdiv
+
+    base = plan.base
+    tm, tn = base.tm, base.tn
+    cnt = np.asarray(c_cnt)
+    occ = cnt > 0
+    keep = occ.any(axis=(1, 2))
+    ctrow = np.asarray(base.ctrow)[keep]
+    ctcol = np.asarray(base.ctcol)[keep]
+    occ = occ[keep]
+    hi = np.asarray(c_hi)[keep]
+    lo = np.asarray(c_lo)[keep]
+    ntk = ctrow.size
+    gm, gn = cdiv(shape[0], tm), cdiv(shape[1], tn)
+
+    tid, rcflat = np.nonzero(occ.reshape(ntk, tm * tn))
+    vals = (hi.reshape(ntk, tm * tn)[tid, rcflat].astype(np.float64)
+            + lo.reshape(ntk, tm * tn)[tid, rcflat])
+    r = rcflat // tn
+    c = rcflat % tn
+    ex = (plan.ea.reshape(-1, tm)[ctrow[tid].astype(np.int64), r]
+          + plan.eb.reshape(-1, tn)[ctcol[tid].astype(np.int64), c] - 14)
+    vals = np.ldexp(vals, ex)
+    tile_key = ctrow[tid].astype(np.int64) * gn + ctcol[tid]
+    return _build_tilemat(
+        shape=shape, tm=tm, tn=tn, tile_key=tile_key,
+        rc=rcflat.astype(INDEX_DTYPE), val=vals, gm=gm, gn=gn)
