@@ -40,7 +40,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("tile_n", nargs="?", type=int, default=128)
     p.add_argument("--backend", default="auto",
                    choices=["auto", "strip", "gustavson", "dense", "esc",
-                            "xla", "pallas"])
+                            "xla", "pallas", "ozaki"])
     p.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     p.add_argument("--check", default="values",
                    choices=["none", "pattern", "values"],
@@ -67,7 +67,11 @@ def main(argv=None) -> int:
     from spgemm_tpu.ops.spgemm import spgemm_csr
     from spgemm_tpu.utils import csv_sink
 
-    if args.dtype == "f64":
+    if args.dtype == "f64" and args.backend not in ("auto", "ozaki",
+                                                    "esc"):
+        # auto/ozaki/esc run f64 WITHOUT x64 (Ozaki int8-slice engine /
+        # double-double scan — the TPU has no f64 ALU); only the
+        # x64-emulated tiled backends need the flag
         jax.config.update("jax_enable_x64", True)
     compute_dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
 

@@ -330,6 +330,39 @@ def ozaki_numeric(plan: OzakiPlan, device=None, sync: bool = True):
     return out, timings
 
 
+def time_ozaki(plan: OzakiPlan, *, loop: int = 20, repeats: int = 2,
+               device=None) -> tuple[float, float]:
+    """Amortized per-dispatch device time for the ozaki core (chained
+    dispatches, RTT-subtracted — the repo's standard methodology,
+    utils/timing.chained_device_ms). Returns (ms, rtt_ms)."""
+    from spgemm_tpu.utils.timing import chained_device_ms
+
+    base = plan.base
+    put = (lambda x: jax.device_put(x, device)) if device \
+        else jax.device_put
+    arrs = [put(x) for x in (plan.a_sl, plan.b_sl, plan.a_occ,
+                             plan.b_occ, jnp.asarray(base.seg))]
+    jax.block_until_ready(arrs)
+    kw = dict(gk=base.gk, max_a=base.max_a, max_b=base.max_b,
+              tm=base.tm, tn=base.tn, nt_c=base.nt_c,
+              sa=plan.sa, sb=plan.sb)
+
+    @jax.jit
+    def chain(a_sl, b_sl, ao, bo, seg):
+        # all operands are integer: the loop-carried f32 acc casts to an
+        # int8 zero added to the slice plane for the data dependency
+        def body(i, acc):
+            dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
+            h, l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg, **kw)
+            return (acc + jnp.sum(h[:1])
+                    + jnp.sum(c[:1]).astype(jnp.float32))
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    probe = put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, *arrs, repeats=repeats,
+                             loop=loop)
+
+
 def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
                  note: str = ""):
     """Full f64 multiply through the Ozaki-slice engine; returns a

@@ -70,3 +70,13 @@ def test_cli_backends(mtx_file, capsys):
         rc = main([mtx_file, "16", "16", "--backend", backend])
         assert rc == 0, backend
         assert "[PASSED]" in capsys.readouterr().out
+
+
+def test_cli_f64_ozaki(mtx_file, capsys):
+    """--dtype f64 --backend ozaki: exact-f64 engine through the CLI
+    (no x64 flag flipped; tile sizes 16x128 for the slab layout)."""
+    rc = main([mtx_file, "16", "128", "--dtype", "f64",
+               "--backend", "ozaki"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[PASSED]" in out

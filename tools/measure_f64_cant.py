@@ -60,8 +60,8 @@ def main():
     # cant-like value model is small integers, so S=1: one int8 MXU
     # matmul per slab pair, bit-exact f64.
     from spgemm_tpu.models.tile import csr_to_tiles
-    from spgemm_tpu.ops.ozaki import build_ozaki_plan, ozaki_numeric
-    from spgemm_tpu.utils.timing import chained_device_ms
+    from spgemm_tpu.ops.ozaki import (build_ozaki_plan, ozaki_compact,
+                                      ozaki_numeric)
 
     at = csr_to_tiles(a, 16, 128)
     bt = csr_to_tiles(a, 128, 128)
@@ -70,46 +70,15 @@ def main():
     print(f"ozaki plan: {time.perf_counter()-t0:.1f}s S={oplan.sa}x"
           f"{oplan.sb} pairs={oplan.num_pairs} ntC={oplan.nt_c}", flush=True)
     (hi, lo, cnt), tms = ozaki_numeric(oplan)
-    from spgemm_tpu.ops.ozaki import ozaki_assemble
-    import jax
-
-    cube = ozaki_assemble(oplan, hi, lo, cnt, a.shape)
-    # value check on a sample of tiles vs the golden oracle
-    from spgemm_tpu.ops.spgemm import _compact_to_tilemat
-
-    c_oz = _compact_to_tilemat(oplan.ctrow, oplan.ctcol, cube,
-                               np.asarray(cnt), a.shape, 16, 128).to_csr()
+    c_oz = ozaki_compact(oplan, hi, lo, cnt, a.shape).to_csr()
     oz_trim = golden.drop_explicit_zeros(c_oz)
     okoz = (ref.pattern_equal(oz_trim)
             and np.array_equal(ref.data, oz_trim.data))
     print(f"ozaki exact: {okoz}", flush=True)
     # amortized device time (chained, RTT-subtracted)
-    import jax.numpy as jnp
-    from spgemm_tpu.ops.ozaki import ozaki_core
+    from spgemm_tpu.ops.ozaki import time_ozaki
 
-    base = oplan.base
-    arrs = jax.device_put((oplan.a_sl, oplan.b_sl, oplan.a_occ,
-                           oplan.b_occ, jnp.asarray(base.seg)))
-    jax.block_until_ready(arrs)
-
-    loop = 20
-    kw = dict(gk=base.gk, max_a=base.max_a, max_b=base.max_b,
-              tm=base.tm, tn=base.tn, nt_c=base.nt_c,
-              sa=oplan.sa, sb=oplan.sb)
-
-    @jax.jit
-    def chain(a_sl, b_sl, ao, bo, seg):
-        # dependency: the loop-carried f32 acc casts to an int8 zero
-        # added to the slice plane (all operands are integer here, so
-        # the usual acc*1e-30 float noise term does not type-check)
-        def body(i, acc):
-            dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
-            h, l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg, **kw)
-            return acc + jnp.sum(h[:1]) + jnp.sum(c[:1]).astype(jnp.float32)
-        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
-
-    msoz, _ = chained_device_ms(chain, arrs[2], *arrs, loop=loop,
-                                repeats=2)
+    msoz, _ = time_ozaki(oplan, loop=20, repeats=2)
     nnz_cub = 2 * plan.num_products
     print(f"ozaki f64 (S={oplan.sa}x{oplan.sb}): {msoz:.3f} ms = "
           f"{nnz_cub/(msoz*1e6):.1f} f64-GFLOPS", flush=True)

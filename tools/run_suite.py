@@ -51,6 +51,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tn", type=int, default=128)
     ap.add_argument("--backend", default=None,
                     help="default: strip on TPU, gustavson elsewhere")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "f64"],
+                    help="f64 routes structured regimes to the Ozaki "
+                         "int8-slice engine, unstructured to the "
+                         "double-double scan (no x64 needed)")
     ap.add_argument("--resume", action="store_true",
                     help="skip (matrix, config) rows already in the summary")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -141,13 +145,15 @@ def main(argv=None) -> int:
             nnz_cub = flop_count_spgemm(
                 a, a.transpose() if aat else a
             )
+            kw_dt = ({"compute_dtype": np.float64}
+                     if args.dtype == "f64" else {})
             # warm-up dispatch populates the jit cache (first-call numbers
             # measure XLA compilation + tunnel RTT, not the kernel)
             spgemm_csr(a, aat=aat, tm=args.tm, tn=args.tn,
-                       backend=args.backend)
+                       backend=args.backend, **kw_dt)
             t0 = time.perf_counter()
             c, res = spgemm_csr(a, aat=aat, tm=args.tm, tn=args.tn,
-                                backend=args.backend)
+                                backend=args.backend, **kw_dt)
             wall_ms = (time.perf_counter() - t0) * 1e3
             rt = (res.timings_ms.get("symbolic_ms", 0)
                   + res.timings_ms.get("numeric_ms", 0))
@@ -187,6 +193,20 @@ def main(argv=None) -> int:
                                   if ms else "")
                 except ValueError as e:
                     print(f"  (device timing skipped: {e})", flush=True)
+            elif str(res.stats.get("backend", "")).startswith("ozaki"):
+                from spgemm_tpu.ops.ozaki import time_ozaki
+
+                try:
+                    # the ozaki device performs EVERY multiply (int8
+                    # slice-pair matmuls), so 2*nnzCub/ms is the same
+                    # accounting as the strip/reference kernels
+                    ms, _ = time_ozaki(res.schedule, loop=20, repeats=2)
+                    dev_ms = round(ms, 3)
+                    dev_gflops = (round(2 * nnz_cub / (ms * 1e6), 2)
+                                  if ms else "")
+                except (ValueError, RuntimeError) as e:
+                    print(f"  (device timing skipped: {str(e)[:120]})",
+                          flush=True)
             elif str(res.stats.get("backend", "")).startswith("esc"):
                 from spgemm_tpu.ops.esc import ScanPlan, time_esc_any
 
