@@ -550,13 +550,26 @@ def spgemm_csr(
         f64 = jnp.dtype(kw.get("compute_dtype", jnp.float32)) \
             == jnp.dtype(jnp.float64)
         if f64:
-            # f64: structured patterns run the Ozaki-slice engine (exact
-            # int8 slice-pair matmuls on the MXU, ops/ozaki.py — needs
-            # no x64 and beats both the double-double scan and XLA's
-            # emulated-f64 path); unstructured patterns — where tiling
-            # itself is the wrong formulation — and problems whose int32
-            # accumulation bound fails run the double-double scan (or,
-            # with x64 enabled, fall through to the occupancy routing)
+            # f64 routing, best path first:
+            # (1) when a rigorous a-priori bound proves the f32 pipeline
+            #     is EXACT for this data (integer values, every partial
+            #     sum < 2^24 — true for the reference's own synthetic
+            #     value model, main.cu:111-112), run the normal f32
+            #     strip/auto path at full speed and return exact f64;
+            # (2) structured patterns run the Ozaki-slice engine (exact
+            #     int8 slice-pair matmuls on the MXU, ops/ozaki.py — no
+            #     x64 needed);
+            # (3) unstructured patterns — where tiling itself is the
+            #     wrong formulation — and Ozaki int32-bound failures run
+            #     the double-double scan (or, with x64 enabled, fall
+            #     through to the occupancy routing).
+            if _f32_exact_for(a, b, aat):
+                kw2 = dict(kw)
+                kw2["compute_dtype"] = jnp.float32
+                c, res = spgemm_csr(a, b, aat=aat, tm=tm, tn=tn, **kw2)
+                res.stats["backend"] = (
+                    f"{res.stats.get('backend', 'auto')}(f64-exact-int)")
+                return c, res
             if tile_occupancy_estimate(a, tm, tn) >= ESC_OCCUPANCY_TH:
                 from spgemm_tpu.ops.ozaki import OzakiOverflow
 
@@ -615,6 +628,33 @@ def _csr_result_tail(res: SpGEMMResult, a: CSR, b: CSR | None,
     if total_device_ms > 0:
         res.stats["gflops"] = 2.0 * nnz_cub / (total_device_ms * 1e6)
     return c_csr, res
+
+
+def _f32_exact_for(a: CSR, b: CSR | None, aat: bool) -> bool:
+    """True when the f32 pipeline is PROVABLY exact for this f64 data:
+    all values are integers and |C| partial sums stay below 2^24 (f32
+    represents every integer up to 2^24; products and partial sums that
+    never leave that range incur zero rounding, including through the
+    MXU's bf16x3 f32 matmul at HIGHEST precision). Bound: each C element
+    accumulates at most max-row-nnz(A) products of magnitude
+    <= Vmax_A * Vmax_B. The reference's synthetic i%10 value model
+    (main.cu:111-112) passes with orders of magnitude to spare."""
+    av = a.data
+    if av.size == 0:
+        return True
+    if not np.array_equal(np.trunc(av), av):
+        return False
+    vmax_a = float(np.abs(av).max())
+    if b is None:
+        vmax_b = vmax_a          # A^2 or AAT: same values
+        bd = None
+    else:
+        bd = b.data
+        if bd.size and not np.array_equal(np.trunc(bd), bd):
+            return False
+        vmax_b = float(np.abs(bd).max()) if bd.size else 0.0
+    kmax = int(np.diff(a.indptr).max()) if a.nnz else 0
+    return vmax_a * vmax_b * max(kmax, 1) < 2 ** 24
 
 
 def _spgemm_csr_tiled_f64(a: CSR, b: CSR | None, *, aat: bool = False,

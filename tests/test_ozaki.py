@@ -29,9 +29,9 @@ def _scipy(a):
     return sp.csr_matrix((a.data, a.indices, a.indptr), shape=a.shape)
 
 
-def _check(a, b=None, aat=False, rtol=0.0):
+def _check(a, b=None, aat=False, rtol=0.0, expect="ozaki"):
     cc, res = spgemm_csr(a, b, aat=aat, compute_dtype=np.float64)
-    assert str(res.stats["backend"]).startswith("ozaki")
+    assert expect in str(res.stats["backend"]), res.stats["backend"]
     A = _scipy(a)
     B = A.T if aat else (_scipy(b) if b is not None else A)
     ref = (A @ B).tocsr()
@@ -50,12 +50,23 @@ def _check(a, b=None, aat=False, rtol=0.0):
 
 def test_integer_model_bit_exact():
     """The reference's synthetic value model (main.cu:111-112 style small
-    integers) slices to S=1 and must reproduce scipy's f64 bit-for-bit."""
+    integers) satisfies the f32-exactness bound, so f64 auto routes to
+    the FULL-SPEED f32 pipeline and must still reproduce scipy's f64
+    bit-for-bit. The explicit ozaki backend slices it to S=1."""
     rng = np.random.default_rng(0)
     a = _banded(700, 6, lambda k, r: r.integers(1, 10, k).astype(np.float64),
                 rng)
-    res = _check(a)
+    _check(a, expect="f64-exact-int")
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    res = spgemm(at, bt, backend="ozaki")
     assert res.schedule.sa == 1 and res.schedule.sb == 1
+    ref = (_scipy(a) @ _scipy(a)).tocsr()
+    ref.sort_indices()
+    got = res.c.to_csr()
+    got_t = sp.csr_matrix((got.data, got.indices, got.indptr),
+                          shape=ref.shape)
+    assert np.abs((got_t - ref).toarray()).max() == 0.0
 
 
 def test_wide_integers_exact_values():
@@ -152,7 +163,10 @@ def test_overflow_falls_back_to_dd(monkeypatch):
     double-double scan engine, not crash."""
     monkeypatch.setattr(ozaki, "_INT32_HEADROOM", 2 ** 40)
     rng = np.random.default_rng(6)
-    a = _banded(400, 3, lambda k, r: r.integers(1, 10, k).astype(np.float64),
+    # +0.5 so the data dodges the f32-exact-integer fast route and the
+    # auto router reaches the (here, forced-failing) ozaki branch
+    a = _banded(400, 3,
+                lambda k, r: r.integers(1, 10, k).astype(np.float64) + 0.5,
                 rng)
     with pytest.raises(OzakiOverflow):
         build_ozaki_plan(csr_to_tiles(a, 16, 128), csr_to_tiles(a, 128, 128))
@@ -161,7 +175,8 @@ def test_overflow_falls_back_to_dd(monkeypatch):
     ref = (_scipy(a) @ _scipy(a)).tocsr()
     ref.sort_indices()
     got = sp.csr_matrix((cc.data, cc.indices, cc.indptr), shape=ref.shape)
-    assert np.abs((got - ref).toarray()).max() == 0.0
+    diff = np.abs((got - ref).toarray()).max()
+    assert diff <= 1e-12 * np.abs(ref.toarray()).max()
 
 
 def test_empty_and_zero_rows():

@@ -225,10 +225,12 @@ def test_auto_routes_low_reuse_to_esc():
 
 
 def test_f64_auto_routes_without_x64():
-    """spgemm_csr(compute_dtype=f64) with x64 off must not raise:
-    STRUCTURED matrices route to the Ozaki-slice engine (exact int8
-    slice matmuls, ops/ozaki.py), unstructured ones to the
-    double-double scan — both f64-correct on f32-only hardware."""
+    """spgemm_csr(compute_dtype=f64) with x64 off must not raise.
+    Routing, best path first: integer data provably exact in f32 runs
+    the FULL-SPEED f32 pipeline ('f64-exact-int'); structured
+    non-integer data runs the Ozaki-slice engine; unstructured
+    non-integer data runs the double-double scan — all f64-correct on
+    f32-only hardware."""
     import jax as _jax
     import jax.numpy as _jnp
 
@@ -241,31 +243,41 @@ def test_f64_auto_routes_without_x64():
     _jax.config.update("jax_enable_x64", False)  # conftest turns it on
     try:
         c, res = spgemm_csr(a, compute_dtype=_jnp.float64, backend="auto")
-        # unstructured -> double-double scan
+        # structured, non-integer -> ozaki
+        a2 = type(a)(a.indptr, a.indices, a.data + 0.5, a.shape)
+        c2, res2 = spgemm_csr(a2, compute_dtype=_jnp.float64,
+                              backend="auto")
+        # unstructured, non-integer -> double-double scan
         au = _rand_unstructured(rng)
         cu, resu = spgemm_csr(au, compute_dtype=_jnp.float64,
                               backend="auto")
     finally:
         _jax.config.update("jax_enable_x64", True)
-    assert str(res.stats["backend"]).startswith("ozaki")
+    assert "f64-exact-int" in str(res.stats["backend"])
     ref = golden.spgemm_scipy(a, a)
     got = golden.drop_explicit_zeros(c)
     assert got.pattern_equal(ref)
     np.testing.assert_array_equal(got.data, ref.data)
+    assert str(res2.stats["backend"]).startswith("ozaki")
+    ref2 = golden.spgemm_scipy(a2, a2)
+    got2 = golden.drop_explicit_zeros(c2)
+    assert got2.pattern_equal(ref2)
+    np.testing.assert_allclose(got2.data, ref2.data, rtol=1e-13)
     assert resu.stats["backend"] == "esc"
     refu = golden.spgemm_scipy(au, au)
     gotu = golden.drop_explicit_zeros(cu)
     assert gotu.pattern_equal(refu)
-    np.testing.assert_array_equal(gotu.data, refu.data)
+    np.testing.assert_allclose(gotu.data, refu.data, rtol=1e-12)
 
 
 def _rand_unstructured(rng):
     """Sparse enough that tile occupancy falls below the ESC threshold
-    (~1 nnz per occupied 16x128 tile)."""
+    (~1 nnz per occupied 16x128 tile); +0.5 dodges the integer-exact
+    fast route so the DD scan is exercised."""
     from spgemm_tpu.models.csr import CSR
 
     n = 4096
     r = rng.integers(0, n, 4000)
     c = rng.integers(0, n, 4000)
-    return CSR.from_coo(r, c, rng.integers(1, 10, 4000).astype(np.float64),
-                        (n, n))
+    return CSR.from_coo(
+        r, c, rng.integers(1, 10, 4000).astype(np.float64) + 0.5, (n, n))

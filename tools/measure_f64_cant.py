@@ -82,6 +82,11 @@ def main():
     nnz_cub = 2 * plan.num_products
     print(f"ozaki f64 (S={oplan.sa}x{oplan.sb}): {msoz:.3f} ms = "
           f"{nnz_cub/(msoz*1e6):.1f} f64-GFLOPS", flush=True)
+    print("note: f64 backend='auto' routes this matrix (integer values, "
+          "2^24 bound holds) to the f32-exact strip path — the f64 "
+          "headline for the reference's value model is bench.py's strip "
+          "GFLOPS itself; the rows above are the general-f64 engines.",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -120,10 +120,11 @@ cdd0, rdd0 = spgemm_csr(ar, compute_dtype=jnp.float64, backend="esc")
 okdd0 = np.allclose(cdd0.to_dense(), ard @ ard, rtol=1e-12, atol=1e-12)
 print(f"fp64 via esc double-double (no x64) ok={okdd0}")
 
-# r3: f64 through backend="auto" on a STRUCTURED matrix routes to the
-# Ozaki-slice engine (exact int8 slice-pair MXU matmuls, ops/ozaki.py)
-# — must be BIT-exact on the reference's integer value model, and the
-# int8 -> int32 dot_general must compile on real Mosaic/XLA:TPU
+# r3: f64 through backend="auto" on a STRUCTURED matrix with integer
+# values routes to the f32-exact fast path (provable 2^24 bound) and
+# must be BIT-exact; the explicit ozaki backend (S=1: ONE int8 MXU
+# matmul per slab pair) must also be exact and must compile on real
+# Mosaic/XLA:TPU (int8 x int8 -> int32 dot_general)
 sr = np.repeat(np.arange(512), 65)
 sc = sr + np.tile(np.arange(-32, 33), 512)
 sk = (sc >= 0) & (sc < 512)
@@ -131,12 +132,19 @@ astr = CSR.from_coo(sr[sk], sc[sk],
                     ((sr[sk] * 3 + sc[sk]) % 9 + 1).astype(np.float64),
                     (512, 512))
 cda, rda = spgemm_csr(astr, compute_dtype=jnp.float64, backend="auto")
-okda = (str(rda.stats["backend"]).startswith("ozaki")
+okda = ("f64-exact-int" in str(rda.stats["backend"])
         and np.array_equal(cda.to_dense(),
                            astr.to_dense() @ astr.to_dense()))
-print(f"fp64 auto->ozaki structured ok={okda} "
+print(f"fp64 auto->f32-exact structured ok={okda} "
       f"(backend={rda.stats['backend']})")
 fails += not okda
+cdo, rdo = spgemm_csr(astr, compute_dtype=jnp.float64, backend="ozaki")
+okdo = (str(rdo.stats["backend"]).startswith("ozaki")
+        and np.array_equal(cdo.to_dense(),
+                           astr.to_dense() @ astr.to_dense()))
+print(f"fp64 explicit ozaki (S=1 int8 matmul) ok={okdo} "
+      f"(backend={rdo.stats['backend']})")
+fails += not okdo
 # general-significand f64 through ozaki (S=8x8, 64 slice pairs; also
 # checks the XLA TwoSum combine is not algebraically folded on TPU)
 rngo = np.random.default_rng(42)
