@@ -371,7 +371,7 @@ class OzakiExecutor:
                     sa=self.plan.sa, sb=self.plan.sb)
 
     def run(self, sync: bool = True):
-        """One dispatch; returns device (c_hi, c_lo, c_cnt)."""
+        """One dispatch; returns device (c_h, c_m, c_l, c_cnt)."""
         from spgemm_tpu.ops.ozaki import _ozaki_jit
 
         out = _ozaki_jit(*self._dev, **self._kw())
@@ -423,7 +423,8 @@ class OzakiExecutor:
             # not type-check)
             def body(i, acc):
                 dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
-                h, l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg, **kw)
+                h, _m, _l, c = ozaki_core(a_sl + dep, b_sl, ao, bo,
+                                          seg, **kw)
                 return (acc + jnp.sum(h[:1])
                         + jnp.sum(c[:1]).astype(jnp.float32))
             return jax.lax.fori_loop(0, loop, body, jnp.float32(0))

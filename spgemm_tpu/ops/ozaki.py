@@ -15,11 +15,13 @@ MXU as an int8 x int8 -> int32 `dot_general` — EXACT: products are
 < 2^14 and the int32 accumulation never rounds (the per-tile-dictionary
 scatter keeps accumulating in int32; a host-side bound check guarantees
 no overflow, see build_ozaki_plan). Pair groups p = s + t are combined
-on device into a double-float (hi, lo) pair via exact int32 splits and
-TwoSum compensation, and the host applies the 2^(Ea_r + Eb_c - 14)
-scales in f64 — full f64 exponent range, no device overflow.
+on device into a triple-float (h, m, l) via exact int32 splits and
+cascaded TwoSum compensation (~70 effective significand bits — every
+<= 53-bit result reconstructs exactly in f64), and the host applies the
+2^(Ea_r + Eb_c - 14) scales in f64 — full f64 exponent range, no device
+overflow.
 
-S adapts to the data (slice_count): the reference's synthetic benchmark
+S adapts to the data (_span_slices): the reference's synthetic benchmark
 values are small integers (`main.cu:111-112`, i % 10 style), which need
 S = 1 — ONE int8 matmul per slab pair, cheaper than the f32 path.
 General f64 significands need S = 8 (7 * 8 = 56 >= 53 bits), i.e.
@@ -37,7 +39,7 @@ The slicing idea is the Ozaki error-free matrix-product transformation
 (Ozaki, Ogita, Oishi, Rump 2012) in its integer-unit form (cf. Ootomo,
 Ozaki, Yokota 2024's DGEMM on int8 tensor cores); the formulation here
 (per-row/column scales, value-adaptive S, int32 scatter accumulation
-into a sparse C-tile dictionary, double-float device combine) is
+into a sparse C-tile dictionary, triple-float device combine) is
 original to this engine.
 """
 
@@ -257,21 +259,24 @@ def _two_sum(a, b):
     return s, err
 
 
-def _dd_add(xh, xl, yh, yl):
-    s, e = _two_sum(xh, yh)
-    e = e + xl + yl
-    hi = s + e
-    lo = e - (hi - s)
-    return hi, lo
+def _acc3(h, m, l, x):
+    """Add the exact f32 term x into the triple-float accumulator
+    (h, m, l): cascaded TwoSum compensation — only l's own accumulation
+    rounds, so the triple carries ~70 effective significand bits, enough
+    to reconstruct every <= 53-bit result exactly in f64 (a double-float
+    pair held only ~48 bits and rounded e.g. a 1e30 entry)."""
+    h, e = _two_sum(h, x)
+    m, e2 = _two_sum(m, e)
+    return h, m, l + e2
 
 
 def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
                tm, tn, nt_c, sa, sb):
     """Traceable core: Sa*Sb exact int8->int32 slab matmuls, per-group
-    int32 scatter into the C-tile dictionary, device double-float
-    combine. Returns (c_hi, c_lo, c_cnt) — hi/lo are the UNSCALED
-    double-float sums sum_p M_p * 2^(-7p); the host applies the
-    2^(Ea_r + Eb_c - 14) scales in f64."""
+    int32 scatter into the C-tile dictionary, device triple-float
+    combine. Returns (c_h, c_m, c_l, c_cnt) — (h, m, l) are the
+    UNSCALED triple-float sums sum_p M_p * 2^(-7p); the host applies
+    the 2^(Ea_r + Eb_c - 14) scales in f64."""
 
     def slab_mm(x, y, acc):
         return jax.lax.dot_general(
@@ -284,8 +289,9 @@ def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
                  .transpose(0, 1, 3, 2, 4).reshape(-1, tm, tn))
 
     stride = nt_c + 1
-    c_hi = jnp.zeros((nt_c, tm, tn), jnp.float32)
-    c_lo = jnp.zeros((nt_c, tm, tn), jnp.float32)
+    c_h = jnp.zeros((nt_c, tm, tn), jnp.float32)
+    c_m = jnp.zeros((nt_c, tm, tn), jnp.float32)
+    c_l = jnp.zeros((nt_c, tm, tn), jnp.float32)
     for p in range(sa + sb - 1):
         m = None
         for s in range(max(0, p - sb + 1), min(sa - 1, p) + 1):
@@ -293,16 +299,18 @@ def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
             m = d if m is None else m + d
         mp = jnp.zeros((stride, tm, tn), jnp.int32)
         mp = mp.at[seg].add(to_pairs(m))[:nt_c]
-        # exact int32 -> double-float split, scaled by 2^(-7p)
+        # exact int32 -> double-float split, scaled by 2^(-7p) (exact:
+        # power-of-two multiply), then triple-float accumulate
         mh = mp.astype(jnp.float32)
         ml = (mp - mh.astype(jnp.int32)).astype(jnp.float32)
         scale = jnp.float32(2.0 ** (-7 * p))
-        c_hi, c_lo = _dd_add(c_hi, c_lo, mh * scale, ml * scale)
+        c_h, c_m, c_l = _acc3(c_h, c_m, c_l, mh * scale)
+        c_h, c_m, c_l = _acc3(c_h, c_m, c_l, ml * scale)
 
     po = slab_mm(a3_occ, b3_occ, jnp.int32)
     cnt = jnp.zeros((stride, tm, tn), jnp.int32)
     cnt = cnt.at[seg].add(to_pairs(po))[:nt_c]
-    return c_hi, c_lo, cnt
+    return c_h, c_m, c_l, cnt
 
 
 _ozaki_jit = jax.jit(
@@ -312,7 +320,8 @@ _ozaki_jit = jax.jit(
 
 
 def ozaki_numeric(plan: OzakiPlan, device=None, sync: bool = True):
-    """Upload + run; returns device (c_hi, c_lo, c_cnt) and timing dict."""
+    """Upload + run; returns device (c_h, c_m, c_l, c_cnt) and a timing
+    dict."""
     base = plan.base
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
@@ -353,7 +362,8 @@ def time_ozaki(plan: OzakiPlan, *, loop: int = 20, repeats: int = 2,
         # int8 zero added to the slice plane for the data dependency
         def body(i, acc):
             dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
-            h, l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg, **kw)
+            h, _m, _l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg,
+                                      **kw)
             return (acc + jnp.sum(h[:1])
                     + jnp.sum(c[:1]).astype(jnp.float32))
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
@@ -396,12 +406,12 @@ def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
                                    "numblkC_candidate": 0.0,
                                    "numblkC": 0.0, "nnzC": 0.0})
 
-    (c_hi, c_lo, c_cnt), t_num = ozaki_numeric(plan, device=device,
-                                               sync=sync)
+    (c_h, c_m, c_l, c_cnt), t_num = ozaki_numeric(plan, device=device,
+                                                  sync=sync)
     timings.update(t_num)
 
     t0 = time.perf_counter()
-    c = ozaki_compact(plan, c_hi, c_lo, c_cnt, (a.m, b.n))
+    c = ozaki_compact(plan, c_h, c_m, c_l, c_cnt, (a.m, b.n))
     timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
 
     backend_used = f"ozaki(S={plan.sa}x{plan.sb})"
@@ -419,23 +429,22 @@ def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
     return SpGEMMResult(c=c, schedule=plan, timings_ms=timings, stats=stats)
 
 
-def ozaki_assemble(plan: OzakiPlan, c_hi, c_lo, c_cnt,
+def ozaki_assemble(plan: OzakiPlan, c_h, c_m, c_l, c_cnt,
                    shape: tuple[int, int]) -> np.ndarray:
-    """Host epilogue: f64 = (hi + lo) * 2^(Ea_r + Eb_c - 14), applied
+    """Host epilogue: f64 = (h + m + l) * 2^(Ea_r + Eb_c - 14), applied
     with np.ldexp (exact, full f64 exponent range). Returns the per-tile
     f64 value cube (nt_c, tm, tn). (Full-cube form — production goes
     through ozaki_compact, which scales only the kept nonzeros.)"""
     base = plan.base
-    hi = np.asarray(c_hi, np.float64)
-    lo = np.asarray(c_lo, np.float64)
-    v = hi + lo
+    v = (np.asarray(c_h, np.float64) + np.asarray(c_m, np.float64)
+         + np.asarray(c_l, np.float64))
     er = plan.ea.reshape(-1, base.tm)[np.asarray(base.ctrow, np.int64)]
     ec = plan.eb.reshape(-1, base.tn)[np.asarray(base.ctcol, np.int64)]
     ex = (er[:, :, None] + ec[:, None, :] - 14).astype(np.int64)
     return np.ldexp(v, ex)
 
 
-def ozaki_compact(plan: OzakiPlan, c_hi, c_lo, c_cnt,
+def ozaki_compact(plan: OzakiPlan, c_h, c_m, c_l, c_cnt,
                   shape: tuple[int, int]) -> TileMat:
     """Fused scale + compact: select the structural nonzeros FIRST
     (nnzC of nt_c*tm*tn positions), then add hi+lo in f64 and apply the
@@ -453,14 +462,16 @@ def ozaki_compact(plan: OzakiPlan, c_hi, c_lo, c_cnt,
     ctrow = np.asarray(base.ctrow)[keep]
     ctcol = np.asarray(base.ctcol)[keep]
     occ = occ[keep]
-    hi = np.asarray(c_hi)[keep]
-    lo = np.asarray(c_lo)[keep]
+    h = np.asarray(c_h)[keep]
+    m_ = np.asarray(c_m)[keep]
+    l_ = np.asarray(c_l)[keep]
     ntk = ctrow.size
     gm, gn = cdiv(shape[0], tm), cdiv(shape[1], tn)
 
     tid, rcflat = np.nonzero(occ.reshape(ntk, tm * tn))
-    vals = (hi.reshape(ntk, tm * tn)[tid, rcflat].astype(np.float64)
-            + lo.reshape(ntk, tm * tn)[tid, rcflat])
+    vals = (h.reshape(ntk, tm * tn)[tid, rcflat].astype(np.float64)
+            + m_.reshape(ntk, tm * tn)[tid, rcflat]
+            + l_.reshape(ntk, tm * tn)[tid, rcflat])
     r = rcflat // tn
     c = rcflat % tn
     ex = (plan.ea.reshape(-1, tm)[ctrow[tid].astype(np.int64), r]

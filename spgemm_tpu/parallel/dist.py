@@ -1119,28 +1119,29 @@ def spgemm_sharded_ozaki(a: TileMat, b: TileMat, mesh: Mesh):
             b_sl[0], "x", axis=1, tiled=True)[:, : plan.gk]
         bocc_g = jax.lax.all_gather(
             b_occ[0], "x", axis=0, tiled=True)[: plan.gk]
-        hi, lo, cnt = ozaki_core(
+        h, m, l, cnt = ozaki_core(
             a_sl[0], bsl_g, a_occ[0], bocc_g, seg[0],
             gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
             tm=plan.tm, tn=plan.tn, nt_c=plan.s_max,
             sa=plan.sa, sb=plan.sb)
-        return hi[None], lo[None], cnt[None]
+        return h[None], m[None], l[None], cnt[None]
 
     fn = jax.jit(
         jax.shard_map(
             device_fn, mesh=mesh,
             in_specs=(P("x"),) * 5,
-            out_specs=(P("x"), P("x"), P("x")),
+            out_specs=(P("x"), P("x"), P("x"), P("x")),
             check_vma=False,
         )
     )
-    hi_d, lo_d, cnt_d = fn(
+    h_d, m_d, l_d, cnt_d = fn(
         jnp.asarray(plan.a_sl), jnp.asarray(plan.a_occ),
         jnp.asarray(plan.b_sl), jnp.asarray(plan.b_occ),
         jnp.asarray(plan.seg),
     )
-    hi = np.asarray(hi_d, np.float64)
-    lo = np.asarray(lo_d, np.float64)
+    h_np = np.asarray(h_d, np.float64)
+    m_np = np.asarray(m_d, np.float64)
+    l_np = np.asarray(l_d, np.float64)
     cnt = np.asarray(cnt_d)
 
     # host epilogue: per-shard f64 scaling (LOCAL row scales, global
@@ -1150,7 +1151,7 @@ def spgemm_sharded_ozaki(a: TileMat, b: TileMat, mesh: Mesh):
         nc = int(plan.seg_counts[d])
         if nc == 0:
             continue
-        v = hi[d, :nc] + lo[d, :nc]
+        v = h_np[d, :nc] + m_np[d, :nc] + l_np[d, :nc]
         ctr_l, ctc_l = plan.ct_local[d]
         er = plan.ea[d].reshape(-1, plan.tm)[ctr_l.astype(np.int64)]
         ec = plan.eb.reshape(-1, plan.tn)[ctc_l.astype(np.int64)]

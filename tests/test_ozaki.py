@@ -179,6 +179,22 @@ def test_overflow_falls_back_to_dd(monkeypatch):
     assert diff <= 1e-12 * np.abs(ref.toarray()).max()
 
 
+def test_53bit_results_exact():
+    """The device triple-float combine must carry full f64 significands:
+    a 53-bit result (1e30) reconstructs bit-exactly — a double-float
+    (2x f32) output held only ~48 bits and rounded it."""
+    rng = np.random.default_rng(9)
+    n = 200
+    rr = np.zeros(100, np.int64)
+    cc = np.arange(100)
+    vv = np.concatenate([[1e30], rng.standard_normal(99)])
+    a = CSR.from_coo(rr, cc, vv, (n, n))
+    b = CSR.from_coo(cc, cc, np.ones(100), (n, n))
+    res = spgemm_ozaki(csr_to_tiles(a, 16, 128), csr_to_tiles(b, 128, 128))
+    g = res.c.to_csr()
+    assert g.data[0] == 1e30
+
+
 def test_empty_and_zero_rows():
     a = CSR.from_coo(np.array([0]), np.array([0]), np.array([3.0]),
                      (200, 200))

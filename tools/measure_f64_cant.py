@@ -69,8 +69,8 @@ def main():
     oplan = build_ozaki_plan(at, bt)
     print(f"ozaki plan: {time.perf_counter()-t0:.1f}s S={oplan.sa}x"
           f"{oplan.sb} pairs={oplan.num_pairs} ntC={oplan.nt_c}", flush=True)
-    (hi, lo, cnt), tms = ozaki_numeric(oplan)
-    c_oz = ozaki_compact(oplan, hi, lo, cnt, a.shape).to_csr()
+    (h, m, l, cnt), tms = ozaki_numeric(oplan)
+    c_oz = ozaki_compact(oplan, h, m, l, cnt, a.shape).to_csr()
     oz_trim = golden.drop_explicit_zeros(c_oz)
     okoz = (ref.pattern_equal(oz_trim)
             and np.array_equal(ref.data, oz_trim.data))
