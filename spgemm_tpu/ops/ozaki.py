@@ -67,12 +67,14 @@ class OzakiOverflow(ValueError):
 
 # --- host-side slicing ------------------------------------------------------
 
-def _span_slices(dense: np.ndarray, exp_of: np.ndarray) -> int:
-    """S = ceil(max bit span / 7): bit span of value v in a group with
-    scale exponent E is E - lsb_exponent(v)."""
+def _span_slices(dense: np.ndarray, exp_of: np.ndarray) -> tuple[int, int]:
+    """(S, raw bit span): S = min(MAX_SLICES, ceil(span / 7)); the bit
+    span of value v in a group with scale exponent E is
+    E - lsb_exponent(v). span > 7*MAX_SLICES means the capped slicing
+    truncates (the Ozaki blocked-accuracy regime)."""
     nz = dense != 0.0
     if not nz.any():
-        return 1
+        return 1, 0
     v = dense[nz]
     e_scale = exp_of[nz]
     mant, e = np.frexp(v)
@@ -85,7 +87,7 @@ def _span_slices(dense: np.ndarray, exp_of: np.ndarray) -> int:
         m[z] >>= step
     lsb = e.astype(np.int64) - 53 + tz
     span = int((e_scale - lsb).max())
-    return min(MAX_SLICES, max(1, -(-span // 7)))
+    return min(MAX_SLICES, max(1, -(-span // 7))), span
 
 
 def _slice_int8(dense: np.ndarray, exp_of: np.ndarray, s: int) -> np.ndarray:
@@ -137,7 +139,8 @@ class OzakiPlan:
         return self.base.padding_ratio()
 
 
-def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
+def build_ozaki_plan(a: TileMat, b: TileMat,
+                     strict: bool = False) -> OzakiPlan:
     """Slice the f64 tile values and pack them into the Gustavson slab
     layout (same slot formulas as build_gustavson_plan; the occupancy
     slabs and C-tile dictionary are reused from the base plan).
@@ -149,7 +152,7 @@ def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
     base = build_gustavson_plan(a, b, dtype=np.float32, values=False)
 
     t_prep = time.perf_counter()
-    a_sl, b_sl, ea, eb, sa, sb = slice_and_pack(a, b, base)
+    a_sl, b_sl, ea, eb, sa, sb = slice_and_pack(a, b, base, strict=strict)
     # int8 occupancy: the count matmul is exact in int32 (0/1 inputs,
     # per-element count <= pairs * tk << 2^31) and the upload shrinks 4x
     # vs the f32 occ slabs — at cant scale the occ planes would
@@ -167,7 +170,8 @@ def build_ozaki_plan(a: TileMat, b: TileMat) -> OzakiPlan:
     )
 
 
-def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan):
+def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
+                   strict: bool = False):
     """Value-dependent half of the plan build: scales, adaptive slice
     counts, int8 slicing, slab packing, feasibility checks. Reused by
     OzakiExecutor.update_values (pattern-fixed value refresh: the
@@ -200,8 +204,34 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan):
 
     exp_a = ea.reshape(a.gm, tm)[a.trow.astype(np.int64)][:, :, None]
     exp_b = eb.reshape(b.gn, tn)[b.tcol.astype(np.int64)][:, None, :]
-    sa = _span_slices(ad, np.broadcast_to(exp_a, ad.shape))
-    sb = _span_slices(bd, np.broadcast_to(exp_b, bd.shape))
+    sa, span_a = _span_slices(ad, np.broadcast_to(exp_a, ad.shape))
+    sb, span_b = _span_slices(bd, np.broadcast_to(exp_b, bd.shape))
+    # Typical f64 data exceeds the 56-bit window by its value spread
+    # (span ~ 53 + log2(dynamic range)) and the capped slicing there is
+    # still f64-eps-class relative to the row/col scales — the same
+    # error model as any blocked Ozaki DGEMM. Only EXTREME multi-scale
+    # rows (spread beyond ~2^64 in one row) get whole entries truncated;
+    # the auto router (strict=True) prefers the double-double scan's
+    # per-product accuracy for those — but ONLY when the DD scan can
+    # actually represent the products (its hi/lo planes are f32: the
+    # product range must fit f32's exponent field; this engine's
+    # per-row/col scaling has no such limit). Explicit backend='ozaki'
+    # callers keep the documented blocked bound.
+    if strict and max(span_a, span_b) > 7 * MAX_SLICES + 64:
+        nza = np.abs(ad[ad != 0.0])
+        nzb = np.abs(bd[bd != 0.0])
+        pmax = (float(nza.max()) * float(nzb.max())
+                if nza.size and nzb.size else 0.0)
+        pmin = (float(nza.min()) * float(nzb.min())
+                if nza.size and nzb.size else 0.0)
+        dd_viable = (pmax < 2.0 ** 120) and (pmin == 0.0
+                                             or pmin > 2.0 ** -120)
+        if dd_viable:
+            raise OzakiOverflow(
+                f"per-row/col significand span {max(span_a, span_b)} "
+                f"bits is far beyond the {7 * MAX_SLICES}-bit slice "
+                "window — extreme multi-scale data; routing prefers "
+                "the double-double scan")
 
     # int32 accumulation bound (per C element, per pair group)
     seg_real = base.seg[base.seg < base.nt_c]
@@ -374,7 +404,7 @@ def time_ozaki(plan: OzakiPlan, *, loop: int = 20, repeats: int = 2,
 
 
 def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
-                 note: str = ""):
+                 strict: bool = False, note: str = ""):
     """Full f64 multiply through the Ozaki-slice engine; returns a
     SpGEMMResult (TileMat C, f64 values) shaped like the other tiled
     backends (ops/spgemm.py). Raises OzakiOverflow when the int32
@@ -384,7 +414,7 @@ def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
 
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
-    plan = build_ozaki_plan(a, b)
+    plan = build_ozaki_plan(a, b, strict=strict)
     # prep (slab/slice packing) vs symbolic (pair expansion + C-tile
     # dictionary + bound checks) split, like the other tiled backends
     timings["symbolic_ms"] = max(

@@ -665,10 +665,14 @@ def _spgemm_csr_tiled_f64(a: CSR, b: CSR | None, *, aat: bool = False,
     (exact int8 slice-pair matmuls, ops/ozaki.py). Raises OzakiOverflow
     (caught by the caller, which falls back to the double-double scan)
     when the int32 accumulation bound fails."""
+    from spgemm_tpu.ops.ozaki import spgemm_ozaki
+
     at = csr_to_tiles(a, tm, tn)
     bt = _tile_b_role(a, b, at, aat, tm, tn)
-    res = spgemm(at, bt, backend="ozaki", compute_dtype=jnp.float64,
-                 device=device, sync=sync)
+    # strict=True: when the data's per-row significand span exceeds the
+    # slice window (blocked-accuracy regime), raise so the auto router
+    # falls back to the double-double scan's per-product accuracy
+    res = spgemm_ozaki(at, bt, device=device, sync=sync, strict=True)
     return _csr_result_tail(res, a, b, aat)
 
 

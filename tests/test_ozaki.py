@@ -203,3 +203,31 @@ def test_empty_and_zero_rows():
     res = spgemm_ozaki(at, bt)
     c = res.c.to_csr()
     assert c.nnz == 1 and c.data[0] == 9.0
+
+
+def test_wide_span_auto_routes_to_dd():
+    """Per-row significand span beyond the 56-bit slice window: strict
+    plan build raises and the auto route falls back to the
+    double-double scan (per-product accuracy beats the blocked bound
+    there); explicit backend='ozaki' still runs with the documented
+    blocked-accuracy truncation."""
+    rng = np.random.default_rng(12)
+    n = 300
+
+    # 1e+15/1e-15 mix: >120-bit per-row span, but products stay inside
+    # f32's exponent range so the DD scan is viable (1e+-30 mixes would
+    # overflow the DD hi/lo planes and must STAY on ozaki's scaled path)
+    def vals(k, r):
+        return r.standard_normal(k) * np.where(
+            r.random(k) < 0.5, 1e15, 1e-15)
+
+    a = _banded(n, 3, vals, rng)
+    with pytest.raises(OzakiOverflow):
+        build_ozaki_plan(csr_to_tiles(a, 16, 128),
+                         csr_to_tiles(a, 128, 128), strict=True)
+    cc, res = spgemm_csr(a, None, compute_dtype=np.float64)
+    assert res.stats["backend"] == "esc"
+    # explicit engine still runs (non-strict)
+    res2 = spgemm(csr_to_tiles(a, 16, 128), csr_to_tiles(a, 128, 128),
+                  backend="ozaki")
+    assert str(res2.stats["backend"]).startswith("ozaki")
