@@ -75,3 +75,32 @@ def test_adversarial_antidiagonal():
     m = (c >= 0) & (c < n)
     _check_auto(CSR.from_coo(
         r[m], c[m], rng.integers(1, 9, m.sum()).astype(float), (n, n)))
+
+
+@pytest.mark.parametrize("case", CASES, ids=[f"c{c[-1]}" for c in CASES])
+def test_fuzz_ozaki_vs_oracle(case):
+    """Ozaki f64 engine on random shapes/patterns with general f64
+    values (gaussian x pow2 spread) — exact vs scipy within f64 eps
+    class. Tile sizes fixed at the slab layout's (16, 128)."""
+    m, k, n, density, _tm, _tn, seed = case
+    rng = np.random.default_rng(1000 + seed)
+    nnz_a = max(1, int(m * k * density))
+    nnz_b = max(1, int(k * n * density))
+
+    def vals(c):
+        return rng.standard_normal(c) * np.exp2(
+            rng.integers(-8, 9, c).astype(np.float64))
+
+    a = CSR.from_coo(rng.integers(0, m, nnz_a), rng.integers(0, k, nnz_a),
+                     vals(nnz_a), (m, k))
+    b = CSR.from_coo(rng.integers(0, k, nnz_b), rng.integers(0, n, nnz_b),
+                     vals(nnz_b), (k, n))
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(b, 128, 128)
+    res = spgemm(at, bt, backend="ozaki")
+    ref = golden.spgemm_scipy(a, b)
+    got = golden.drop_explicit_zeros(res.c.to_csr())
+    assert got.pattern_equal(ref), f"ozaki pattern mismatch on {case}"
+    scale = max(np.abs(ref.data).max() if ref.nnz else 1.0, 1e-300)
+    assert np.abs(got.data - ref.data).max() <= 1e-14 * scale, \
+        f"ozaki values on {case}"
