@@ -12,9 +12,10 @@ strip planning or scan-plan build — happens ONCE; each tick is then
 with no retiling, no symbolic, no full re-upload of anything but the
 value planes.
 
-Routes through BOTH engines to show the API is uniform:
-  structured pattern  -> StripExecutor (tiled strip kernel)
-  unstructured        -> EscExecutor   (scan engine)
+Routes through the THREE engines to show the API is uniform:
+  structured pattern  -> StripExecutor  (tiled strip kernel, f32)
+  unstructured        -> EscExecutor    (scan engine)
+  exact f64           -> OzakiExecutor  (int8 slice-pair MXU matmuls)
 
 Usage: python examples/serving_loop.py [n] [ticks]
 """
@@ -30,7 +31,8 @@ from spgemm_tpu.models.csr import CSR
 from spgemm_tpu.models.tile import csr_to_tiles
 from spgemm_tpu.ops import golden
 from spgemm_tpu.ops.esc import build_esc_scan_plan, esc_scan_trim
-from spgemm_tpu.ops.executor import EscExecutor, StripExecutor
+from spgemm_tpu.ops.executor import (EscExecutor, OzakiExecutor,
+                                     StripExecutor)
 
 
 def banded(n: int, band: int, seed: int = 0) -> CSR:
@@ -103,6 +105,37 @@ def main() -> None:
             got.data, ref.data, rtol=1e-4, atol=1e-6)
         print(f"[esc]   tick {tick}: {tick_ms:.1f} ms "
               f"nnzC={got.nnz} {'OK' if ok else 'MISMATCH'}")
+
+    # --- exact f64: OzakiExecutor --------------------------------------
+    from spgemm_tpu.ops.ozaki import build_ozaki_plan, ozaki_compact
+
+    af = banded(n, 8, seed=7)
+    atf = csr_to_tiles(af, 16, 128)
+    btf = csr_to_tiles(af, 128, 128)
+    t0 = time.perf_counter()
+    oplan = build_ozaki_plan(atf, btf)
+    ex3 = OzakiExecutor(oplan, atf, btf)
+    build_ms = (time.perf_counter() - t0) * 1e3
+    print(f"[ozaki] plan built once: {build_ms:.1f} ms "
+          f"(S={oplan.sa}x{oplan.sb})")
+    for tick in range(ticks):
+        vals = rng.standard_normal(af.nnz)
+        a_new = CSR(af.indptr, af.indices, vals, af.shape)
+        t0 = time.perf_counter()
+        ex3.update_values(csr_to_tiles(a_new, 16, 128),
+                          csr_to_tiles(a_new, 128, 128))
+        out = ex3.run()
+        c_tiles = ozaki_compact(oplan, *out, af.shape)
+        tick_ms = (time.perf_counter() - t0) * 1e3
+        ref = golden.spgemm_scipy(a_new, a_new)
+        got = golden.drop_explicit_zeros(c_tiles.to_csr())
+        # f64-eps-class relative to the result scale (tiny entries carry
+        # the engine's documented blocked-accuracy bound)
+        scale = np.abs(ref.data).max() if ref.nnz else 1.0
+        ok = got.pattern_equal(ref) and np.allclose(
+            got.data, ref.data, rtol=1e-9, atol=1e-13 * scale)
+        print(f"[ozaki] tick {tick}: {tick_ms:.1f} ms "
+              f"nnzC={got.nnz} {'OK' if ok else 'MISMATCH'} (f64)")
 
 
 if __name__ == "__main__":
