@@ -52,3 +52,40 @@ def test_native_f32_values(make_random_csr):
     a = a.with_data(a.data.astype(np.float32))
     t = csr_to_tiles(a, 16, 16, use_native=True)
     assert t.val.dtype == np.float32
+
+
+def test_pool_prewarm_part_cap_covers_requests():
+    """pool_prewarm(part_cap=...) must create buffers whose CAPACITY
+    covers later larger-than-faulted requests — the round-3 fix for the
+    first plan build allocating fresh unfaulted buffers when the 2 GB
+    parts missed ~2.1 GB plane requests."""
+    from spgemm_tpu.utils import native as nv
+
+    before = len(nv._POOL)
+    nv.pool_prewarm(1 << 22, parts=2, part_cap=(1 << 24) + 1)
+    created_nbytes = [b.nbytes for b in nv._POOL[before:]]
+    assert len(created_nbytes) >= 2
+    # capacity rounded up to the next power of two above part_cap
+    assert all(nb >= (1 << 24) + 1 for nb in created_nbytes)
+    # a request bigger than the faulted prefix but below capacity must
+    # REUSE one of the prewarmed buffers, not allocate fresh
+    n_pool = len(nv._POOL)
+    arr = nv.pool_array(((1 << 24),), np.uint8)
+    assert len(nv._POOL) == n_pool
+    del arr
+
+
+def test_esc_plan_request_bytes_covers_build():
+    """The computed largest-request bound must be >= every plane request
+    the native build actually makes (r_ub * 512 dominates)."""
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.utils.native import esc_plan_request_bytes
+
+    rng = np.random.default_rng(4)
+    n = 500
+    a = CSR.from_coo(rng.integers(0, n, 5000), rng.integers(0, n, 5000),
+                     rng.standard_normal(5000), (n, n))
+    bound = esc_plan_request_bytes(a, a)
+    blen = np.diff(a.indptr)
+    flops = int(blen[a.indices].sum())
+    assert bound >= (flops // 128) * 128 * 4  # at least the plane size
