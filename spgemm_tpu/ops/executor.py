@@ -361,14 +361,18 @@ class OzakiExecutor:
             else jax.device_put
         self._dev = [self._put(x) for x in
                      (plan.a_sl, plan.b_sl, plan.a_occ, plan.b_occ,
-                      jnp.asarray(plan.base.seg))]
+                      jnp.asarray(plan.base.seg),
+                      jnp.asarray(plan.perm), jnp.asarray(plan.bounds))]
         jax.block_until_ready(self._dev)
 
     def _kw(self):
+        from spgemm_tpu.ops.ozaki import combine_mode
+
         base = self.plan.base
         return dict(gk=base.gk, max_a=base.max_a, max_b=base.max_b,
                     tm=base.tm, tn=base.tn, nt_c=base.nt_c,
-                    sa=self.plan.sa, sb=self.plan.sb)
+                    sa=self.plan.sa, sb=self.plan.sb,
+                    combine=combine_mode())
 
     def run(self, sync: bool = True):
         """One dispatch; returns device (c_h, c_m, c_l, c_cnt)."""

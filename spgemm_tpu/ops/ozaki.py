@@ -114,6 +114,8 @@ class OzakiPlan:
     b_sl: np.ndarray             # (Sb, gk, tk, max_b*tn) int8
     ea: np.ndarray               # (gm*tm,) int64 per-row scale exponents
     eb: np.ndarray               # (gn*tn,) int64 per-col scale exponents
+    perm: np.ndarray             # (n_slots,) int32 pair order sorted by seg
+    bounds: np.ndarray           # (nt_c+1,) int32 segment boundaries in perm
     sa: int
     sb: int
     prep_ms: float
@@ -161,10 +163,17 @@ def build_ozaki_plan(a: TileMat, b: TileMat,
     b_occ = base.b3_occ.astype(np.int8)
     base.a3_occ = base.b3_occ = None  # drop the f32 copies
 
+    # scatter-free combine support (combine_mode 'cumsum'): pair order
+    # sorted by destination segment + segment boundaries; sentinel
+    # (padding) pairs sort past bounds[nt_c]
+    perm = np.argsort(base.seg, kind="stable").astype(np.int32)
+    bounds = np.searchsorted(
+        base.seg[perm], np.arange(base.nt_c + 1)).astype(np.int32)
+
     prep_ms = (time.perf_counter() - t_prep) * 1e3
     return OzakiPlan(
         base=base, a_occ=a_occ, b_occ=b_occ, a_sl=a_sl, b_sl=b_sl,
-        ea=ea, eb=eb, sa=sa, sb=sb,
+        ea=ea, eb=eb, perm=perm, bounds=bounds, sa=sa, sb=sb,
         prep_ms=prep_ms + base.prep_ms,
         symbolic_ms=base.symbolic_ms,
     )
@@ -300,13 +309,33 @@ def _acc3(h, m, l, x):
     return h, m, l + e2
 
 
-def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
-               tm, tn, nt_c, sa, sb):
+def combine_mode() -> str:
+    """Pair-tile combine strategy, runtime-selectable for hardware A/B:
+    'scatter' (default) accumulates per-group int32 pair tiles with
+    .at[seg].add; 'cumsum' is the scatter-FREE formulation — pair tiles
+    permuted into seg order (128-wide row gathers, a fast TPU
+    primitive), an int32 cumulative sum along the pair axis (wrapping
+    two's-complement adds: each SEGMENT's true sum fits int32 by the
+    plan's bound, so boundary differences are exact even though the
+    running sum wraps), and one boundary-row gather per C tile.
+    Measured element scatter on v5e is ~0.1 G elem/s while cumsum and
+    row gathers run at full rate (tools/probe_primitives.py) — whether
+    XLA lowers the TILE-granular scatter well is exactly what the HW
+    A/B decides. Env knob: SPGEMM_OZAKI_COMBINE."""
+    import os
+
+    return os.environ.get("SPGEMM_OZAKI_COMBINE", "scatter")
+
+
+def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, perm, bounds, *,
+               gk, max_a, max_b, tm, tn, nt_c, sa, sb,
+               combine: str = "scatter"):
     """Traceable core: Sa*Sb exact int8->int32 slab matmuls, per-group
-    int32 scatter into the C-tile dictionary, device triple-float
-    combine. Returns (c_h, c_m, c_l, c_cnt) — (h, m, l) are the
-    UNSCALED triple-float sums sum_p M_p * 2^(-7p); the host applies
-    the 2^(Ea_r + Eb_c - 14) scales in f64."""
+    int32 combine into the C-tile dictionary (scatter or the
+    scatter-free permute+cumsum formulation — see combine_mode), device
+    triple-float accumulation. Returns (c_h, c_m, c_l, c_cnt) —
+    (h, m, l) are the UNSCALED triple-float sums sum_p M_p * 2^(-7p);
+    the host applies the 2^(Ea_r + Eb_c - 14) scales in f64."""
 
     def slab_mm(x, y, acc):
         return jax.lax.dot_general(
@@ -319,6 +348,20 @@ def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
                  .transpose(0, 1, 3, 2, 4).reshape(-1, tm, tn))
 
     stride = nt_c + 1
+
+    def seg_sum(pairs):
+        if combine == "scatter":
+            acc = jnp.zeros((stride, tm, tn), jnp.int32)
+            return acc.at[seg].add(pairs)[:nt_c]
+        # scatter-free: permute into seg order, wrapping int32 cumsum,
+        # exact boundary differences (sentinel/padding pairs sort past
+        # bounds[nt_c] and never enter a difference)
+        ps = pairs[perm]
+        cs = jnp.cumsum(ps, axis=0, dtype=jnp.int32)
+        csz = jnp.concatenate(
+            [jnp.zeros((1, tm, tn), jnp.int32), cs], axis=0)
+        return csz[bounds[1:]] - csz[bounds[:-1]]
+
     c_h = jnp.zeros((nt_c, tm, tn), jnp.float32)
     c_m = jnp.zeros((nt_c, tm, tn), jnp.float32)
     c_l = jnp.zeros((nt_c, tm, tn), jnp.float32)
@@ -327,8 +370,7 @@ def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
         for s in range(max(0, p - sb + 1), min(sa - 1, p) + 1):
             d = slab_mm(a_sl[s], b_sl[p - s], jnp.int32)
             m = d if m is None else m + d
-        mp = jnp.zeros((stride, tm, tn), jnp.int32)
-        mp = mp.at[seg].add(to_pairs(m))[:nt_c]
+        mp = seg_sum(to_pairs(m))
         # exact int32 -> double-float split, scaled by 2^(-7p) (exact:
         # power-of-two multiply), then triple-float accumulate
         mh = mp.astype(jnp.float32)
@@ -338,15 +380,14 @@ def ozaki_core(a_sl, b_sl, a3_occ, b3_occ, seg, *, gk, max_a, max_b,
         c_h, c_m, c_l = _acc3(c_h, c_m, c_l, ml * scale)
 
     po = slab_mm(a3_occ, b3_occ, jnp.int32)
-    cnt = jnp.zeros((stride, tm, tn), jnp.int32)
-    cnt = cnt.at[seg].add(to_pairs(po))[:nt_c]
+    cnt = seg_sum(to_pairs(po))
     return c_h, c_m, c_l, cnt
 
 
 _ozaki_jit = jax.jit(
     ozaki_core,
     static_argnames=("gk", "max_a", "max_b", "tm", "tn", "nt_c",
-                     "sa", "sb"))
+                     "sa", "sb", "combine"))
 
 
 def ozaki_numeric(plan: OzakiPlan, device=None, sync: bool = True):
@@ -356,13 +397,14 @@ def ozaki_numeric(plan: OzakiPlan, device=None, sync: bool = True):
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
     arrs = jax.device_put(
-        (plan.a_sl, plan.b_sl, plan.a_occ, plan.b_occ, base.seg), device)
+        (plan.a_sl, plan.b_sl, plan.a_occ, plan.b_occ, base.seg,
+         plan.perm, plan.bounds), device)
     jax.block_until_ready(arrs)
     timings["upload_ms"] = (time.perf_counter() - t0) * 1e3
     t0 = time.perf_counter()
     out = _ozaki_jit(*arrs, gk=base.gk, max_a=base.max_a, max_b=base.max_b,
                      tm=base.tm, tn=base.tn, nt_c=base.nt_c,
-                     sa=plan.sa, sb=plan.sb)
+                     sa=plan.sa, sb=plan.sb, combine=combine_mode())
     if sync:
         jax.block_until_ready(out)
     timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
@@ -380,20 +422,22 @@ def time_ozaki(plan: OzakiPlan, *, loop: int = 20, repeats: int = 2,
     put = (lambda x: jax.device_put(x, device)) if device \
         else jax.device_put
     arrs = [put(x) for x in (plan.a_sl, plan.b_sl, plan.a_occ,
-                             plan.b_occ, jnp.asarray(base.seg))]
+                             plan.b_occ, jnp.asarray(base.seg),
+                             jnp.asarray(plan.perm),
+                             jnp.asarray(plan.bounds))]
     jax.block_until_ready(arrs)
     kw = dict(gk=base.gk, max_a=base.max_a, max_b=base.max_b,
               tm=base.tm, tn=base.tn, nt_c=base.nt_c,
-              sa=plan.sa, sb=plan.sb)
+              sa=plan.sa, sb=plan.sb, combine=combine_mode())
 
     @jax.jit
-    def chain(a_sl, b_sl, ao, bo, seg):
+    def chain(a_sl, b_sl, ao, bo, seg, perm, bounds):
         # all operands are integer: the loop-carried f32 acc casts to an
         # int8 zero added to the slice plane for the data dependency
         def body(i, acc):
             dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
             h, _m, _l, c = ozaki_core(a_sl + dep, b_sl, ao, bo, seg,
-                                      **kw)
+                                      perm, bounds, **kw)
             return (acc + jnp.sum(h[:1])
                     + jnp.sum(c[:1]).astype(jnp.float32))
         return jax.lax.fori_loop(0, loop, body, jnp.float32(0))

@@ -1119,11 +1119,15 @@ def spgemm_sharded_ozaki(a: TileMat, b: TileMat, mesh: Mesh):
             b_sl[0], "x", axis=1, tiled=True)[:, : plan.gk]
         bocc_g = jax.lax.all_gather(
             b_occ[0], "x", axis=0, tiled=True)[: plan.gk]
+        # scatter combine (per-shard perm/bounds would need uniform
+        # padding across shards for marginal benefit — the dist path's
+        # wall is the all-gather, not the combine)
+        dummy = jnp.zeros(1, jnp.int32)
         h, m, l, cnt = ozaki_core(
-            a_sl[0], bsl_g, a_occ[0], bocc_g, seg[0],
+            a_sl[0], bsl_g, a_occ[0], bocc_g, seg[0], dummy, dummy,
             gk=plan.gk, max_a=plan.max_a, max_b=plan.max_b,
             tm=plan.tm, tn=plan.tn, nt_c=plan.s_max,
-            sa=plan.sa, sb=plan.sb)
+            sa=plan.sa, sb=plan.sb, combine="scatter")
         return h[None], m[None], l[None], cnt[None]
 
     fn = jax.jit(

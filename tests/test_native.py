@@ -61,14 +61,12 @@ def test_pool_prewarm_part_cap_covers_requests():
     parts missed ~2.1 GB plane requests."""
     from spgemm_tpu.utils import native as nv
 
-    before = len(nv._POOL)
     nv.pool_prewarm(1 << 22, parts=2, part_cap=(1 << 24) + 1)
-    created_nbytes = [b.nbytes for b in nv._POOL[before:]]
-    assert len(created_nbytes) >= 2
-    # capacity rounded up to the next power of two above part_cap
-    assert all(nb >= (1 << 24) + 1 for nb in created_nbytes)
-    # a request bigger than the faulted prefix but below capacity must
-    # REUSE one of the prewarmed buffers, not allocate fresh
+    # after prewarm, enough buffers with capacity >= part_cap exist
+    # (created fresh or reused from the pool — both satisfy the
+    # contract) that a request bigger than the faulted prefix but below
+    # capacity REUSES one instead of allocating fresh
+    assert sum(b.nbytes >= (1 << 24) + 1 for b in nv._POOL) >= 2
     n_pool = len(nv._POOL)
     arr = nv.pool_array(((1 << 24),), np.uint8)
     assert len(nv._POOL) == n_pool

@@ -231,3 +231,25 @@ def test_wide_span_auto_routes_to_dd():
     res2 = spgemm(csr_to_tiles(a, 16, 128), csr_to_tiles(a, 128, 128),
                   backend="ozaki")
     assert str(res2.stats["backend"]).startswith("ozaki")
+
+
+def test_combine_modes_bit_identical(monkeypatch):
+    """The scatter and the scatter-free permute+cumsum combines must
+    produce BIT-identical (h, m, l, cnt) — the wrapping-int32 boundary
+    differences are exact whenever the per-segment bound holds."""
+    from spgemm_tpu.ops.ozaki import ozaki_numeric
+
+    rng = np.random.default_rng(31)
+    n = 350
+    r = rng.integers(0, n, 4000)
+    c = rng.integers(0, n, 4000)
+    a = CSR.from_coo(r, c, rng.standard_normal(4000), (n, n))
+    plan = build_ozaki_plan(csr_to_tiles(a, 16, 128),
+                            csr_to_tiles(a, 128, 128))
+    outs = {}
+    for mode in ("scatter", "cumsum"):
+        monkeypatch.setenv("SPGEMM_OZAKI_COMBINE", mode)
+        out, _ = ozaki_numeric(plan)
+        outs[mode] = tuple(np.asarray(x) for x in out)
+    assert all(np.array_equal(outs["scatter"][i], outs["cumsum"][i])
+               for i in range(4))
