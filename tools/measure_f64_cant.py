@@ -78,10 +78,17 @@ def main():
     # amortized device time (chained, RTT-subtracted)
     from spgemm_tpu.ops.ozaki import time_ozaki
 
-    msoz, _ = time_ozaki(oplan, loop=20, repeats=2)
     nnz_cub = 2 * plan.num_products
-    print(f"ozaki f64 (S={oplan.sa}x{oplan.sb}): {msoz:.3f} ms = "
-          f"{nnz_cub/(msoz*1e6):.1f} f64-GFLOPS", flush=True)
+    for mode in ("scatter", "cumsum"):
+        os.environ["SPGEMM_OZAKI_COMBINE"] = mode
+        try:
+            msoz, _ = time_ozaki(oplan, loop=20, repeats=2)
+            print(f"ozaki f64 (S={oplan.sa}x{oplan.sb}, {mode}): "
+                  f"{msoz:.3f} ms = {nnz_cub/(msoz*1e6):.1f} f64-GFLOPS",
+                  flush=True)
+        except Exception as ex:  # noqa: BLE001 — record, keep measuring
+            print(f"ozaki {mode} failed: {str(ex)[:160]}", flush=True)
+    os.environ.pop("SPGEMM_OZAKI_COMBINE", None)
     print("note: f64 backend='auto' routes this matrix (integer values, "
           "2^24 bound holds) to the f32-exact strip path — the f64 "
           "headline for the reference's value model is bench.py's strip "
