@@ -145,6 +145,18 @@ okdo = (str(rdo.stats["backend"]).startswith("ozaki")
 print(f"fp64 explicit ozaki (S=1 int8 matmul) ok={okdo} "
       f"(backend={rdo.stats['backend']})")
 fails += not okdo
+# scatter-free combine on real hardware: permute + WRAPPING int32
+# cumsum + boundary diffs must equal the scatter path exactly
+import os as _os
+
+_os.environ["SPGEMM_OZAKI_COMBINE"] = "cumsum"
+try:
+    cdc, _ = spgemm_csr(astr, compute_dtype=jnp.float64, backend="ozaki")
+    okdc = np.array_equal(cdc.to_dense(), cdo.to_dense())
+finally:
+    _os.environ.pop("SPGEMM_OZAKI_COMBINE", None)
+print(f"ozaki cumsum combine == scatter on hw ok={okdc}")
+fails += not okdc
 # general-significand f64 through ozaki (S=8x8, 64 slice pairs; also
 # checks the XLA TwoSum combine is not algebraically folded on TPU)
 rngo = np.random.default_rng(42)
