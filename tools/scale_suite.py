@@ -187,6 +187,31 @@ def main(argv=None) -> int:
               f"model step={t_d:.3f}ms eff={eff:.2f} "
               f"({rows[-1]['variant']})")
 
+        # exact-f64 engine under the same mesh: functional + value row
+        # (integer value model -> bit-exact; spgemm_sharded_ozaki)
+        if d <= ndev_avail:
+            from spgemm_tpu.parallel.dist import spgemm_sharded_ozaki
+
+            t0 = time.perf_counter()
+            ct64 = spgemm_sharded_ozaki(at, bt, make_mesh(d))
+            oz_wall = round((time.perf_counter() - t0) * 1e3, 1)
+            got64 = golden.drop_explicit_zeros(ct64.to_csr())
+            oz_check = ("PASSED" if got64.pattern_equal(ref)
+                        and np.array_equal(got64.data, ref.data)
+                        else "NOT PASSED")
+            rows.append(dict(
+                devices=d, pairs_max=int(per_dev.max()),
+                pairs_mean=float(per_dev.mean()),
+                balance=round(balance, 3),
+                wall_ms=oz_wall, check=oz_check,
+                measured_allgather_ms="", measured_fullstep_ms="",
+                model_compute_ms="", model_allgather_ms="",
+                model_step_ms="", scaling_efficiency="",
+                variant="ozaki-f64",
+            ))
+            print(f"D={d}: ozaki-f64 wall={oz_wall}ms {oz_check} "
+                  f"(bit-exact check)")
+
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     import csv
 
