@@ -151,6 +151,18 @@ def build_ozaki_plan(a: TileMat, b: TileMat,
     guaranteed: per C element the scatter accumulates at most
     (pairs hitting that C tile) * tk * min(Sa, Sb) products of
     magnitude <= 127^2 — verified against 2^31 with headroom."""
+    # cheap tile-pointer feasibility BEFORE the base plan builds its occ
+    # slabs (pathological k-column skew can blow gk*max_a padding)
+    acsc_ptr, _ = a.csc_view()
+    max_a0 = max(1, int(np.diff(acsc_ptr).max())) if a.nt else 1
+    max_b0 = max(1, int(np.diff(b.tptr).max())) if b.nt else 1
+    occ_bytes = a.gn * (max_a0 * a.tm * a.tn
+                        + max_b0 * b.tm * b.tn) * 4
+    if occ_bytes > (4 << 30):
+        raise OzakiOverflow(
+            f"k-group padding explodes (occ slabs {occ_bytes/1e9:.1f} "
+            "GB) — unstructured pattern; use the double-double scan "
+            "engine")
     base = build_gustavson_plan(a, b, dtype=np.float32, values=False)
 
     t_prep = time.perf_counter()
@@ -187,6 +199,20 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
     geometry/base plan is reused, only this function reruns)."""
     gk, max_a, max_b = base.gk, base.max_a, base.max_b
     tm, tk, tn = base.tm, base.tk, base.tn
+
+    # geometry-only feasibility FIRST — before materializing the f64
+    # dense tile cubes (an unstructured 65536^2 matrix has ~800k tiles:
+    # its dense cube alone is ~13 GB and must never be allocated on the
+    # way to a fallback)
+    slab_bytes = gk * max_a * max_b * tm * tn * 4
+    dense_bytes = (a.nt * tm * tk + b.nt * tk * tn) * 8
+    slice_ub = MAX_SLICES * (gk * max_a * tm * tk + gk * max_b * tk * tn)
+    if (slab_bytes > (4 << 30) or dense_bytes > (4 << 30)
+            or slice_ub > (8 << 30)):
+        raise OzakiOverflow(
+            f"slab padding explodes (pair buffer {slab_bytes/1e9:.1f} GB, "
+            f"dense cubes {dense_bytes/1e9:.1f} GB) — unstructured "
+            "pattern; use the double-double scan engine")
 
     ad = a.dense(np.float64)
     bd = b.dense(np.float64)
@@ -251,16 +277,6 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
             f"int32 bound {bound:.3g} (pairs/tile={max_pairs}, tk={tk}, "
             f"g={min(sa, sb)}) too close to 2^31 — use the double-double "
             "scan engine for this problem")
-    # HBM feasibility: per-group pair-product buffer (int32, same size
-    # as the f32 slab backend's) + the slice stacks themselves
-    slab_bytes = gk * max_a * max_b * tm * tn * 4
-    slice_bytes = (sa * gk * max_a * tm * tk + sb * gk * max_b * tk * tn)
-    if slab_bytes > (4 << 30) or slice_bytes > (4 << 30):
-        raise OzakiOverflow(
-            f"slab padding explodes (pair buffer {slab_bytes/1e9:.1f} GB, "
-            f"slices {slice_bytes/1e9:.1f} GB) — unstructured pattern; "
-            "use the double-double scan engine")
-
     a_slices = _slice_int8(ad, exp_a, sa)                   # (Sa, nt, tm, tk)
     b_slices = _slice_int8(bd, exp_b, sb)                   # (Sb, nt, tk, tn)
 
