@@ -420,7 +420,7 @@ class OzakiExecutor:
         kw = self._kw()
 
         @jax.jit
-        def chain(a_sl, b_sl, ao, bo, seg):
+        def chain(a_sl, b_sl, ao, bo, seg, perm, bounds):
             # all operands are integer: the loop-carried f32 acc casts
             # to an int8 zero added to the slice plane for the data
             # dependency (the usual acc*1e-30 float noise term would
@@ -428,7 +428,7 @@ class OzakiExecutor:
             def body(i, acc):
                 dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
                 h, _m, _l, c = ozaki_core(a_sl + dep, b_sl, ao, bo,
-                                          seg, **kw)
+                                          seg, perm, bounds, **kw)
                 return (acc + jnp.sum(h[:1])
                         + jnp.sum(c[:1]).astype(jnp.float32))
             return jax.lax.fori_loop(0, loop, body, jnp.float32(0))

@@ -1109,7 +1109,7 @@ def spgemm_sharded_ozaki(a: TileMat, b: TileMat, mesh: Mesh):
     runs on host per shard. Completes the engines' SPMD coverage: the
     reference has no f64-distributed counterpart (it is single-GPU,
     SURVEY 2.7)."""
-    from spgemm_tpu.ops.ozaki import ozaki_assemble, ozaki_core
+    from spgemm_tpu.ops.ozaki import ozaki_core
 
     ndev = mesh.devices.size
     plan = plan_ozaki_partition(a, b, ndev)

@@ -205,3 +205,24 @@ def test_ozaki_executor_run_many_and_update_values():
     with pytest.raises(ValueError):
         ex.update_values(csr_to_tiles(a3, 16, 128),
                          csr_to_tiles(a3, 128, 128))
+
+
+def test_ozaki_executor_time_numeric_runs():
+    """time_numeric must dispatch (the chain carries all 7 resident
+    arrays incl. the combine permutation) — regression for the
+    perm/bounds plumbing."""
+    from spgemm_tpu.models.csr import CSR
+    from spgemm_tpu.models.tile import csr_to_tiles
+    from spgemm_tpu.ops.executor import OzakiExecutor
+    from spgemm_tpu.ops.ozaki import build_ozaki_plan
+
+    rng = np.random.default_rng(5)
+    n = 300
+    r = rng.integers(0, n, 2500)
+    c = rng.integers(0, n, 2500)
+    a = CSR.from_coo(r, c, rng.standard_normal(2500), (n, n))
+    at = csr_to_tiles(a, 16, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    ex = OzakiExecutor(build_ozaki_plan(at, bt), at, bt)
+    ms, rtt = ex.time_numeric(loop=2, repeats=1)
+    assert ms >= 0.0
