@@ -563,6 +563,14 @@ def spgemm_csr(
             #     wrong formulation — and Ozaki int32-bound failures run
             #     the double-double scan (or, with x64 enabled, fall
             #     through to the occupancy routing).
+            # SPGEMM_F64_ROUTE=dd is the hardware-triage escape hatch:
+            # it pins the auto route to the (longest-HW-proven) DD scan
+            # without code edits, e.g. if Mosaic/XLA:TPU rejected the
+            # ozaki engine's int8 dot_general on some runtime version.
+            import os as _os
+
+            if _os.environ.get("SPGEMM_F64_ROUTE") == "dd":
+                return _spgemm_csr_esc(a, b, aat=aat, **kw)
             if _f32_exact_for(a, b, aat):
                 kw2 = dict(kw)
                 kw2["compute_dtype"] = jnp.float32

@@ -253,3 +253,13 @@ def test_combine_modes_bit_identical(monkeypatch):
         outs[mode] = tuple(np.asarray(x) for x in out)
     assert all(np.array_equal(outs["scatter"][i], outs["cumsum"][i])
                for i in range(4))
+
+
+def test_f64_route_escape_hatch(monkeypatch):
+    """SPGEMM_F64_ROUTE=dd pins the f64 auto route to the double-double
+    scan (hardware-triage knob)."""
+    monkeypatch.setenv("SPGEMM_F64_ROUTE", "dd")
+    rng = np.random.default_rng(17)
+    a = _banded(300, 3, lambda k, r: r.standard_normal(k), rng)
+    cc, res = spgemm_csr(a, None, compute_dtype=np.float64)
+    assert res.stats["backend"] == "esc"
