@@ -15,7 +15,8 @@ Architecture (TPU-first, not a CUDA port):
                the numeric tile-pair product pipeline (batched MXU matmuls +
                segment reduction in XLA; fused Pallas kernel as the fast
                path), the ESC engine for unstructured patterns (sorted-run
-               scan kernel; double-double f64), golden reference
+               scan kernel; double-double f64), the Ozaki-slice engine
+               (exact f64 via int8 MXU matmuls), golden reference
                algorithms (SPA / dense-row / ESC), and SpMV/SpMM (incl. a
                gather SpMM for unstructured inputs).
   * parallel/— multi-chip execution: C-tile work partitioning over a
@@ -31,7 +32,9 @@ from spgemm_tpu.models.csr import CSR
 from spgemm_tpu.models.tile import TileMat, csr_to_tiles, tiles_to_csr
 from spgemm_tpu.ops.spgemm import spgemm, spgemm_csr, SpGEMMResult
 from spgemm_tpu.ops.esc import build_esc_scan_plan, esc_scan_dd, spgemm_esc
-from spgemm_tpu.ops.executor import StripExecutor
+from spgemm_tpu.ops.executor import (EscExecutor, OzakiExecutor,
+                                     StripExecutor)
+from spgemm_tpu.ops.ozaki import build_ozaki_plan, spgemm_ozaki
 from spgemm_tpu.ops.spmm import spmm, spmm_gather, spmv
 from spgemm_tpu.io.mmio import read_mtx, write_mtx
 from spgemm_tpu.io import checkpoint
