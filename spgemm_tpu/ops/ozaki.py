@@ -288,7 +288,9 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
         acsc_ptr[:-1].astype(np.int64), cnt_a)
     ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
     slot_a = ka * max_a + rank_a
-    a_sl = np.zeros((sa, gk * max_a, tm, tk), np.int8)
+    from spgemm_tpu.utils.native import pool_array
+
+    a_sl = pool_array((sa, gk * max_a, tm, tk), np.int8, zero=True)
     a_sl[:, slot_a] = a_slices[:, acsc_perm]
     a_sl = a_sl.reshape(sa, gk, max_a * tm, tk)
 
@@ -297,10 +299,14 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
     rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
     kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
     slot_b = kb * max_b + rank_b
-    b_sl = np.zeros((sb, gk * max_b, tk, tn), np.int8)
-    b_sl[:, slot_b] = b_slices
-    b_sl = b_sl.reshape(sb, gk, max_b, tk, tn).transpose(
-        0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn)
+    b_pack = pool_array((sb, gk * max_b, tk, tn), np.int8, zero=True)
+    b_pack[:, slot_b] = b_slices
+    # the horizontal-stack transpose materializes a fresh layout; land
+    # it in a pooled buffer too (these slabs are the plan's largest
+    # resident arrays and repeated builds re-pay first-touch otherwise)
+    b_sl = pool_array((sb, gk, tk, max_b * tn), np.int8)
+    np.copyto(b_sl, b_pack.reshape(sb, gk, max_b, tk, tn).transpose(
+        0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn))
 
     return a_sl, b_sl, ea, eb, sa, sb
 
