@@ -524,8 +524,6 @@ void esc_fill(
 }  // extern "C" — the helpers below are templates / overloads
 
 namespace {
-struct ScanRec { uint32_t dl; float pv; };
-struct ScanRecS { uint32_t dl; float pv; int32_t p, q; };
 // Interleaved plane cells: one random 8/16 B write per product lands
 // qv+meta (+asrc/bsrc) together in one cache line, and the flush
 // de-interleaves them into the output planes as pure sequential
@@ -660,8 +658,10 @@ int64_t esc_scan_build(
   std::vector<uint64_t> bits(nwords, 0);
   // bitmap sweep costs ~n/64 word ops; std::sort ~cnt*log2(cnt)
   const int64_t bitmap_thresh = std::max<int64_t>(64, n >> 8);
-  std::vector<ScanRec> recs;
-  std::vector<ScanRecS> srecs;
+  // per-product first-seen ordinal, the walk's only output stream
+  // (4 B/product; values, source indices and the padded position are
+  // all regenerated in the scatter pass from the same CSR loops)
+  std::vector<uint32_t> dls;
   const bool want = want_src != 0;
 
   int64_t cur_win = 0;     // open window index
@@ -744,19 +744,18 @@ int64_t esc_scan_build(
       const int32_t k = a_indices[p];
       fb += b_indptr[k + 1] - b_indptr[k];
     }
-    if (!want) {
-      if ((int64_t)recs.size() < fb) recs.resize(fb);
-    } else {
-      if ((int64_t)srecs.size() < fb) srecs.resize(fb);
-    }
-    // 1. single product walk: collect + record
+    if ((int64_t)dls.size() < fb) dls.resize(fb);
+    // 1. single product walk: stamp-map collect, dup counts, and the
+    // 4 B/product ordinal stream — the minimum the scatter pass needs
     const uint64_t t1_ = stage_tsc();
     int64_t cnt = 0;
     int64_t f_row = 0;
     for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
       const int32_t k = a_indices[p];
-      const double aval = a_data[p];
-      for (int32_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+      const int32_t qe = b_indptr[k + 1];
+      for (int32_t q = b_indptr[k]; q < qe; ++q) {
+        // hide the stamp map's L2 latency: the b row gives lookahead
+        if (q + 8 < qe) __builtin_prefetch(&sta[b_indices[q + 8]], 1, 3);
         const int32_t j = b_indices[q];
         uint32_t t;
         const uint64_t s = sta[j];
@@ -770,17 +769,7 @@ int64_t esc_scan_build(
           t = (uint32_t)s;
           ++dup[t];
         }
-        const float pv = (float)(aval * b_data[q]);
-        if (!want) {
-          recs[f_row].dl = t;
-          recs[f_row].pv = pv;
-        } else {
-          srecs[f_row].dl = t;
-          srecs[f_row].pv = pv;
-          srecs[f_row].p = p;
-          srecs[f_row].q = q;
-        }
-        ++f_row;
+        dls[f_row++] = t;
       }
     }
     const uint64_t t2_ = stage_tsc();
@@ -862,31 +851,43 @@ int64_t esc_scan_build(
     // 4. stable counting scatter into the arena. Each dest's cursor
     // was seeded with its padded offset in the layout pass above —
     // that seeding IS the dest sort (stable: products arrive in
-    // A-order and each cursor only advances). Branch-free per product:
-    // one random 16-B DestCur access + one arena cell write (the
+    // A-order and each cursor only advances). The product enumeration
+    // is re-walked (sequential b_data reads regenerate pv and the
+    // source indices), so per product this costs one 4-B dl read, one
+    // random 16-B DestCur access and one arena cell write (the
     // run-start / continuation marks were emitted per dest in layout).
     const int64_t abase = ar_base * 128;
-    if (!want) {
-      for (int64_t x = 0; x < f_row; ++x) {
-        DestCur& d = dc[recs[x].dl];
-        const int64_t pos = d.cur++;
-        const int64_t dist = std::min<int64_t>(
-            (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
-        Cell& c = acell[pos - abase];
-        c.pv = recs[x].pv;
-        c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
-      }
-    } else {
-      for (int64_t x = 0; x < f_row; ++x) {
-        DestCur& d = dc[srecs[x].dl];
-        const int64_t pos = d.cur++;
-        const int64_t dist = std::min<int64_t>(
-            (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
-        CellS& c = acells[pos - abase];
-        c.pv = srecs[x].pv;
-        c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
-        c.p = srecs[x].p;
-        c.q = srecs[x].q;
+    {
+      int64_t x = 0;
+      for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+        const int32_t k = a_indices[p];
+        const double aval = a_data[p];
+        const int32_t q0 = b_indptr[k], q1 = b_indptr[k + 1];
+        if (!want) {
+          for (int32_t q = q0; q < q1; ++q, ++x) {
+            if (x + 8 < f_row) __builtin_prefetch(&dc[dls[x + 8]], 1, 3);
+            DestCur& d = dc[dls[x]];
+            const int64_t pos = d.cur++;
+            const int64_t dist = std::min<int64_t>(
+                (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
+            Cell& c = acell[pos - abase];
+            c.pv = (float)(aval * b_data[q]);
+            c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
+          }
+        } else {
+          for (int32_t q = q0; q < q1; ++q, ++x) {
+            if (x + 8 < f_row) __builtin_prefetch(&dc[dls[x + 8]], 1, 3);
+            DestCur& d = dc[dls[x]];
+            const int64_t pos = d.cur++;
+            const int64_t dist = std::min<int64_t>(
+                (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
+            CellS& c = acells[pos - abase];
+            c.pv = (float)(aval * b_data[q]);
+            c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
+            c.p = p;
+            c.q = q;
+          }
+        }
       }
     }
     base += cnt;

@@ -307,17 +307,92 @@ _POOL: list = []
 # per-stage TSC totals of the most recent esc_scan_build (profiling aid)
 last_scan_build_stages: dict | None = None
 
+# Shared-memory arena backing the pool. On this host (Firecracker VM
+# with lazily host-backed guest memory) the FIRST touch of any
+# guest-physical page since VM boot is provisioned by the VMM at only
+# ~40-95 MB/s, while already-backed pages stream at 2-8 GB/s — and
+# anonymous memory freed at process exit returns to the guest buddy
+# allocator with no guarantee the next process gets the provisioned
+# pages back (measured: sometimes it does at 4+ GB/s, sometimes a
+# fresh-looking region crawls at 40 MB/s again). A tmpfs file pins the
+# provisioned pages in the guest page cache by NAME, so every process
+# after the first attaches warm: measured 2.1 GB/s on a second
+# process's first pass and 8 GB/s after (vs 0.04-0.09 GB/s cold anon).
+# The provisioning cost is paid once per VM boot instead of once per
+# process — this is what killed round 3's 480 s prewarm cliff.
+_ARENA_PATH = os.environ.get(
+    "SPGEMM_POOL_FILE", "/dev/shm/spgemm_tpu_arena_v1")
+_ARENA_MAX = int(os.environ.get("SPGEMM_POOL_MAX_GB", "40")) << 30
+_arena_mm = None       # the mmap object, or False if unavailable
+_arena_off = 0         # carve cursor (bytes)
+_arena_fd = -1
+
+
+def _arena_attach():
+    """mmap the tmpfs arena file (create + size on first use). Returns
+    the mmap object or False if unavailable (no /dev/shm, disabled via
+    SPGEMM_POOL=anon, or another live process holds the flock — two
+    concurrent processes must not share scratch)."""
+    global _arena_mm, _arena_fd
+    if _arena_mm is not None:
+        return _arena_mm
+    if os.environ.get("SPGEMM_POOL", "shm") != "shm":
+        _arena_mm = False
+        return _arena_mm
+    import fcntl
+    import mmap as _mmap
+
+    fd = -1
+    try:
+        fd = os.open(_ARENA_PATH, os.O_RDWR | os.O_CREAT, 0o600)
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        # tmpfs files are sparse: size to the cap up front (pages
+        # materialize on first touch), mmap once for process lifetime
+        if os.fstat(fd).st_size < _ARENA_MAX:
+            os.ftruncate(fd, _ARENA_MAX)
+        _arena_mm = _mmap.mmap(fd, _ARENA_MAX)
+        _arena_fd = fd  # keeps fd + flock alive for process lifetime
+    except (OSError, ValueError):
+        if fd >= 0:
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+        _arena_mm = False
+    return _arena_mm
+
+
+def _new_buffer(cap: int):
+    """A cap-byte pool buffer: carved from the shared arena when it
+    fits, anonymous (THP-advised) otherwise.
+
+    Each carve is a SEPARATE np.frombuffer over the mmap, never a slice
+    of one big arena array: numpy collapses view chains through ndarray
+    bases, so a slice-of-a-slice would point its .base past the carved
+    buffer at the top-level array — and pool_array's getrefcount
+    liveness check would see every checked-out buffer as free (measured:
+    two live pool arrays handed the same memory). frombuffer's base is
+    the mmap object, where the collapse stops, so each carve anchors its
+    own view chain exactly like an owning np.empty buffer does."""
+    global _arena_off
+    mm = _arena_attach()
+    if mm is not False and _arena_off + cap <= len(mm):
+        buf = np.frombuffer(mm, np.uint8, count=cap, offset=_arena_off)
+        _arena_off += cap
+        return buf
+    buf = np.empty(cap, np.uint8)
+    madvise_hugepage(buf)
+    return buf
+
 
 def pool_array(shape, dtype, *, zero: bool = False, fill=None):
-    """Process-level big-buffer pool. On this host (Firecracker VM with
-    lazily host-backed guest memory) first-touch of NEW memory is
-    provisioned at only ~90 MB/s with THP (~35 MB/s without) — ~11 s/GB
-    — while reused memory streams at ~10 GB/s. numpy frees large arrays
-    with munmap, so without a pool every plan build re-pays provisioning.
-    Buffers here are never unmapped; one is reused when no references
-    outside the pool remain (checked via sys.getrefcount on the base
-    buffer — plan arrays returned to callers keep their buffer checked
-    out until the plan is dropped)."""
+    """Process-level big-buffer pool over the shared-memory arena (see
+    _arena_attach for the host-memory model). numpy frees large arrays
+    with munmap, so without a pool every plan build re-pays page
+    population. Buffers here are never unmapped; one is reused when no
+    references outside the pool remain (checked via sys.getrefcount on
+    the base buffer — plan arrays returned to callers keep their buffer
+    checked out until the plan is dropped)."""
     import sys
 
     nbytes = int(np.prod(shape)) * np.dtype(dtype).itemsize
@@ -329,8 +404,7 @@ def pool_array(shape, dtype, *, zero: bool = False, fill=None):
                 best = buf
     if best is None:
         cap = 1 << max(20, (max(nbytes, 1) - 1).bit_length())
-        best = np.empty(cap, np.uint8)
-        madvise_hugepage(best)
+        best = _new_buffer(cap)
         _POOL.append(best)
     arr = best[:nbytes].view(dtype).reshape(shape)
     if zero:
@@ -342,25 +416,20 @@ def pool_array(shape, dtype, *, zero: bool = False, fill=None):
 
 def pool_prewarm(nbytes: int, parts: int = 4,
                  part_cap: int | None = None) -> None:
-    """Fault in ~nbytes of pool memory up front (startup arena
-    provisioning — the one-time ~11 s/GB host-backing cost happens here
-    instead of inside the first plan build).
-
-    part_cap (bytes, rounded up to a power of two) sets each buffer's
-    CAPACITY independently of how much is faulted: a plan-array request
-    only reuses a pooled buffer whose capacity covers it, so part_cap
-    must be >= the largest single array the first build will request —
-    round-2's 2 GB parts missed the ~2.1 GB cant plane requests by a
-    hair and the build paid first-touch on fresh buffers a second time.
-    Only nbytes/parts of each buffer is faulted (the expected touched
-    prefix); capacity beyond that is virtual and free.
-
-    Without part_cap, part sizes are powers of two so each request
-    exactly matches its buffer's capacity: pool_array rounds capacity up
-    to a power of two, and a non-pow2 request would leave the buffer's
-    tail unprovisioned — a later bigger request reusing that buffer
-    would then fault the tail at first-touch speed mid-build (measured:
-    ~0.5 GB tails cost seconds at rmat65536 scale)."""
+    """Populate ~nbytes of pool memory up front, so the first plan
+    build's timed region doesn't include page population. With the
+    shared arena this is one sparse touch (one write per 4 KB page) of
+    the arena prefix — minor faults onto page-cache pages on a warm
+    boot (~2-4 GB/s), VMM provisioning once per VM boot. parts/part_cap
+    are kept for the anon-fallback path, where each buffer's CAPACITY
+    must cover the largest single plan-array request (pow2-rounded) or
+    the first build allocates fresh unfaulted buffers."""
+    mm = _arena_attach()
+    if mm is not False:
+        want = min(max(nbytes, part_cap or 0), len(mm))
+        view = np.frombuffer(mm, np.uint8, count=want)
+        view[::4096] = view[::4096]  # touch, preserve contents
+        return
     per = 1 << max(20, (max(nbytes // parts, 1) - 1).bit_length())
     cap = per if part_cap is None else \
         1 << max(20, (max(part_cap, per) - 1).bit_length())
