@@ -302,6 +302,25 @@ def madvise_hugepage(*arrays):
             _libc.madvise(start, end - start, 14)  # MADV_HUGEPAGE
 
 
+def _madvise_populate_write(addr: int, nbytes: int) -> None:
+    """madvise(MADV_POPULATE_WRITE): synchronously fault-in + write-map
+    a region. On this host it populates provisioned tmpfs pages at
+    ~16 GB/s, vs paying the minor faults inside the consumer's NT-store
+    loop at ~4 GB/s (each fault flushes the write-combining buffers) or
+    ~0.4 GB/s when the page also needs VMM provisioning. No-op on
+    failure (pre-5.14 kernels reject advice 23)."""
+    global _libc
+    if _libc is None:
+        madvise_hugepage()  # initializes _libc
+    if not _libc:
+        return
+    page = 4096
+    start = (addr + page - 1) & ~(page - 1)
+    end = (addr + nbytes) & ~(page - 1)
+    if end > start:
+        _libc.madvise(start, end - start, 23)  # MADV_POPULATE_WRITE
+
+
 _POOL: list = []
 
 # per-stage TSC totals of the most recent esc_scan_build (profiling aid)
@@ -379,9 +398,11 @@ def _new_buffer(cap: int):
     if mm is not False and _arena_off + cap <= len(mm):
         buf = np.frombuffer(mm, np.uint8, count=cap, offset=_arena_off)
         _arena_off += cap
+        _madvise_populate_write(buf.ctypes.data, cap)
         return buf
     buf = np.empty(cap, np.uint8)
     madvise_hugepage(buf)
+    _madvise_populate_write(buf.ctypes.data, cap)
     return buf
 
 
@@ -428,7 +449,7 @@ def pool_prewarm(nbytes: int, parts: int = 4,
     if mm is not False:
         want = min(max(nbytes, part_cap or 0), len(mm))
         view = np.frombuffer(mm, np.uint8, count=want)
-        view[::4096] = view[::4096]  # touch, preserve contents
+        _madvise_populate_write(view.ctypes.data, want)
         return
     per = 1 << max(20, (max(nbytes // parts, 1) - 1).bit_length())
     cap = per if part_cap is None else \
