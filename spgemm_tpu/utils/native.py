@@ -341,7 +341,12 @@ last_scan_build_stages: dict | None = None
 # process — this is what killed round 3's 480 s prewarm cliff.
 _ARENA_PATH = os.environ.get(
     "SPGEMM_POOL_FILE", "/dev/shm/spgemm_tpu_arena_v1")
-_ARENA_MAX = int(os.environ.get("SPGEMM_POOL_MAX_GB", "40")) << 30
+_ARENA_MAX = int(os.environ.get("SPGEMM_POOL_MAX_GB", "100")) << 30
+# NOTE: the file and its carves are virtual (sparse tmpfs + writers
+# populate only the prefixes they touch) — the cap bounds address
+# space, not RAM. Plan planes are sized at loose upper bounds whose
+# pow2 caps can sum to >60 GB at cant scale while touching ~5 GB; a
+# 40 GB cap pushed those carves onto cold anonymous memory.
 _arena_mm = None       # the mmap object, or False if unavailable
 _arena_off = 0         # carve cursor (bytes)
 _arena_fd = -1
@@ -383,7 +388,13 @@ def _arena_attach():
 
 def _new_buffer(cap: int):
     """A cap-byte pool buffer: carved from the shared arena when it
-    fits, anonymous (THP-advised) otherwise.
+    fits, anonymous (THP-advised) otherwise. Deliberately NOT populated
+    here: plan-array requests are sized at loose upper bounds (the scan
+    planes' r_ub can be 10x the touched rows at cant scale), so eager
+    population would write tens of GB nobody touches — writers populate
+    the exact ranges they stream into instead (esc_scan_build's chunked
+    MADV_POPULATE_WRITE ahead of its NT flush; pool_array for zero/fill
+    requests).
 
     Each carve is a SEPARATE np.frombuffer over the mmap, never a slice
     of one big arena array: numpy collapses view chains through ndarray
@@ -398,11 +409,9 @@ def _new_buffer(cap: int):
     if mm is not False and _arena_off + cap <= len(mm):
         buf = np.frombuffer(mm, np.uint8, count=cap, offset=_arena_off)
         _arena_off += cap
-        _madvise_populate_write(buf.ctypes.data, cap)
         return buf
     buf = np.empty(cap, np.uint8)
     madvise_hugepage(buf)
-    _madvise_populate_write(buf.ctypes.data, cap)
     return buf
 
 
@@ -428,10 +437,12 @@ def pool_array(shape, dtype, *, zero: bool = False, fill=None):
         best = _new_buffer(cap)
         _POOL.append(best)
     arr = best[:nbytes].view(dtype).reshape(shape)
-    if zero:
-        arr.fill(0)
-    elif fill is not None:
-        arr.fill(fill)
+    if zero or fill is not None:
+        # the fill touches every byte anyway: populate first (16 GB/s
+        # on provisioned tmpfs) so the fill's stores hit mapped pages
+        # instead of minor-faulting per 4 KB (~4 GB/s)
+        _madvise_populate_write(best.ctypes.data, nbytes)
+        arr.fill(0 if zero else fill)
     return arr
 
 
@@ -556,6 +567,7 @@ def esc_scan_symbolic_native(a, b, keep_sources: bool = True,
         _ptr(asrc, I32), _ptr(bsrc, I32),
         ctypes.c_int64(1 if keep_sources else 0),
         ctypes.c_int64(group_rows),
+        ctypes.c_int64(r_ub),
         _ptr(win_rowptr_buf, I64), _ptr(stats, I64)))
 
     # stage breakdown (TSC tick totals; fractions locate the hot stage —
