@@ -214,6 +214,67 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
             f"dense cubes {dense_bytes/1e9:.1f} GB) — unstructured "
             "pattern; use the double-double scan engine")
 
+    ad, bd, ea, eb, sa, sb, _span = _scales_and_slices_prep(
+        a, b, strict=strict)
+
+    # int32 accumulation bound (per C element, per pair group)
+    seg_real = base.seg[base.seg < base.nt_c]
+    max_pairs = int(np.bincount(seg_real).max()) if seg_real.size else 1
+    _check_int32_bound(max_pairs, tk, sa, sb)
+    exp_a = ea.reshape(a.gm, tm)[a.trow.astype(np.int64)][:, :, None]
+    exp_b = eb.reshape(b.gn, tn)[b.tcol.astype(np.int64)][:, None, :]
+    a_slices = _slice_int8(ad, exp_a, sa)                   # (Sa, nt, tm, tk)
+    b_slices = _slice_int8(bd, exp_b, sb)                   # (Sb, nt, tk, tn)
+
+    # pack into the slab layout (same slot formulas as
+    # build_gustavson_plan, gustavson.py:101-132)
+    acsc_ptr, acsc_perm = a.csc_view()
+    cnt_a = np.diff(acsc_ptr).astype(np.int64)
+    rank_a = np.arange(a.nt, dtype=np.int64) - np.repeat(
+        acsc_ptr[:-1].astype(np.int64), cnt_a)
+    ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
+    slot_a = ka * max_a + rank_a
+    from spgemm_tpu.utils.native import pool_array
+
+    a_sl = pool_array((sa, gk * max_a, tm, tk), np.int8, zero=True)
+    a_sl[:, slot_a] = a_slices[:, acsc_perm]
+    a_sl = a_sl.reshape(sa, gk, max_a * tm, tk)
+
+    bptr = b.tptr.astype(np.int64)
+    cnt_b = np.diff(bptr)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
+    kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
+    slot_b = kb * max_b + rank_b
+    b_pack = pool_array((sb, gk * max_b, tk, tn), np.int8, zero=True)
+    b_pack[:, slot_b] = b_slices
+    # the horizontal-stack transpose materializes a fresh layout; land
+    # it in a pooled buffer too (these slabs are the plan's largest
+    # resident arrays and repeated builds re-pay first-touch otherwise)
+    b_sl = pool_array((sb, gk, tk, max_b * tn), np.int8)
+    np.copyto(b_sl, b_pack.reshape(sb, gk, max_b, tk, tn).transpose(
+        0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn))
+
+    return a_sl, b_sl, ea, eb, sa, sb
+
+
+def _check_int32_bound(max_pairs: int, tk: int, sa: int, sb: int) -> None:
+    """Per-C-element, per-pair-group int32 accumulation bound: at most
+    max_pairs * tk * min(Sa, Sb) products of magnitude <= 127^2."""
+    bound = max_pairs * tk * min(sa, sb) * 127 * 127
+    if bound * _INT32_HEADROOM >= 2 ** 31:
+        raise OzakiOverflow(
+            f"int32 bound {bound:.3g} (pairs/tile={max_pairs}, tk={tk}, "
+            f"g={min(sa, sb)}) too close to 2^31 — use the double-double "
+            "scan engine for this problem")
+
+
+def _scales_and_slices_prep(a: TileMat, b: TileMat, *,
+                            strict: bool = False):
+    """Value-model half shared by the XLA slab engine (slice_and_pack)
+    and the fused strip kernel (build_ozaki_strip): dense f64 cubes,
+    per-row/per-column pow2 scales, adaptive slice counts, and the
+    strict extreme-span routing check. Returns (ad, bd, ea, eb, sa, sb)."""
+    tm, tn = a.tm, b.tn
     ad = a.dense(np.float64)
     bd = b.dense(np.float64)
     if not (np.isfinite(ad).all() and np.isfinite(bd).all()):
@@ -267,48 +328,7 @@ def slice_and_pack(a: TileMat, b: TileMat, base: GustavsonPlan,
                 f"bits is far beyond the {7 * MAX_SLICES}-bit slice "
                 "window — extreme multi-scale data; routing prefers "
                 "the double-double scan")
-
-    # int32 accumulation bound (per C element, per pair group)
-    seg_real = base.seg[base.seg < base.nt_c]
-    max_pairs = int(np.bincount(seg_real).max()) if seg_real.size else 1
-    bound = max_pairs * tk * min(sa, sb) * 127 * 127
-    if bound * _INT32_HEADROOM >= 2 ** 31:
-        raise OzakiOverflow(
-            f"int32 bound {bound:.3g} (pairs/tile={max_pairs}, tk={tk}, "
-            f"g={min(sa, sb)}) too close to 2^31 — use the double-double "
-            "scan engine for this problem")
-    a_slices = _slice_int8(ad, exp_a, sa)                   # (Sa, nt, tm, tk)
-    b_slices = _slice_int8(bd, exp_b, sb)                   # (Sb, nt, tk, tn)
-
-    # pack into the slab layout (same slot formulas as
-    # build_gustavson_plan, gustavson.py:101-132)
-    acsc_ptr, acsc_perm = a.csc_view()
-    cnt_a = np.diff(acsc_ptr).astype(np.int64)
-    rank_a = np.arange(a.nt, dtype=np.int64) - np.repeat(
-        acsc_ptr[:-1].astype(np.int64), cnt_a)
-    ka = np.repeat(np.arange(gk, dtype=np.int64), cnt_a)
-    slot_a = ka * max_a + rank_a
-    from spgemm_tpu.utils.native import pool_array
-
-    a_sl = pool_array((sa, gk * max_a, tm, tk), np.int8, zero=True)
-    a_sl[:, slot_a] = a_slices[:, acsc_perm]
-    a_sl = a_sl.reshape(sa, gk, max_a * tm, tk)
-
-    bptr = b.tptr.astype(np.int64)
-    cnt_b = np.diff(bptr)
-    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
-    kb = np.repeat(np.arange(gk, dtype=np.int64), cnt_b)
-    slot_b = kb * max_b + rank_b
-    b_pack = pool_array((sb, gk * max_b, tk, tn), np.int8, zero=True)
-    b_pack[:, slot_b] = b_slices
-    # the horizontal-stack transpose materializes a fresh layout; land
-    # it in a pooled buffer too (these slabs are the plan's largest
-    # resident arrays and repeated builds re-pay first-touch otherwise)
-    b_sl = pool_array((sb, gk, tk, max_b * tn), np.int8)
-    np.copyto(b_sl, b_pack.reshape(sb, gk, max_b, tk, tn).transpose(
-        0, 1, 3, 2, 4).reshape(sb, gk, tk, max_b * tn))
-
-    return a_sl, b_sl, ea, eb, sa, sb
+    return ad, bd, ea, eb, sa, sb, max(span_a, span_b)
 
 
 # --- device numeric ---------------------------------------------------------
@@ -475,7 +495,26 @@ def spgemm_ozaki(a: TileMat, b: TileMat, *, device=None, sync: bool = True,
     SpGEMMResult (TileMat C, f64 values) shaped like the other tiled
     backends (ops/spgemm.py). Raises OzakiOverflow when the int32
     accumulation bound fails — callers fall back to the double-double
-    scan engine."""
+    scan engine.
+
+    Kernel selection (env SPGEMM_OZAKI_KERNEL = auto|strip|xla, default
+    auto): the fused Pallas strip kernel when its windowed geometry is
+    feasible (no HBM pair intermediates, no XLA scatter — measured 18x
+    faster at cant-scale S=8x8), else the XLA slab formulation."""
+    import os as _os
+
+    kern = _os.environ.get("SPGEMM_OZAKI_KERNEL", "auto")
+    if kern in ("auto", "strip"):
+        try:
+            return _spgemm_ozaki_strip(a, b, device=device, sync=sync,
+                                       strict=strict, note=note)
+        except OzakiOverflow:
+            raise
+        except ValueError as ex:
+            if kern == "strip":
+                raise
+            note = (note + "+" if note else "") + "xla-fallback"
+            del ex
     from spgemm_tpu.ops.spgemm import SpGEMMResult, _compact_to_tilemat
 
     timings: dict[str, float] = {}
@@ -577,3 +616,315 @@ def ozaki_compact(plan: OzakiPlan, c_h, c_m, c_l, c_cnt,
     return _build_tilemat(
         shape=shape, tm=tm, tn=tn, tile_key=tile_key,
         rc=rcflat.astype(INDEX_DTYPE), val=vals, gm=gm, gn=gn)
+
+
+# --- fused strip kernel route ------------------------------------------------
+
+@dataclasses.dataclass
+class OzakiStripPlan:
+    """Plan for the fused Pallas strip formulation of the engine
+    (ops/pallas_kernels.py:ozaki_strip_pallas): the production strip
+    geometry (windowed-B delivery, block-padded C, per-pair slot tables)
+    carrying int8 slice stacks instead of f32 value planes. Replaces the
+    XLA slab route's HBM pair-product intermediates and per-group
+    scatter-adds (measured 66 of 94 ms at cant-scale S=8x8) with VMEM
+    group accumulators and an in-kernel triple-float reduce."""
+    sargs: object                # gustavson.StripArgs (geometry + occ)
+    av8: np.ndarray              # (ntA_pad, stack_rows, tk) int8
+    bv8: np.ndarray              # (gk_pad, tk, sb*max_b*tn) int8, t-major cols
+    ea: np.ndarray               # (gm*tm,) per-row scale exponents
+    eb: np.ndarray               # (gn*tn,) per-col scale exponents
+    sa: int
+    sb: int
+    pmax: int = MAX_SLICES * 2 - 2   # pair-group truncation (see build)
+    prep_ms: float = 0.0
+    symbolic_ms: float = 0.0
+
+    @property
+    def stack_rows(self) -> int:
+        return self.av8.shape[1]
+
+    def kernel_kwargs(self) -> dict:
+        s = self.sargs
+        return dict(gm=s.gm, tm=s.tm, max_b=s.max_b,
+                    max_ablock=s.max_ablock, max_cblock=s.max_cblock,
+                    block_rows=s.block_rows, kwin=s.kwin,
+                    sa=self.sa, sb=self.sb, pmax=self.pmax)
+
+    def vmem_bytes(self) -> int:
+        s = self.sargs
+        occ = np.dtype(np.float16).itemsize  # bf16 occupancy planes
+        acc_rows = max(32, min(self.sa + self.sb - 1, self.pmax + 1) * s.tm)
+        return (2 * s.max_ablock * self.stack_rows * s.tk
+                + 2 * s.max_ablock * s.tm * s.tk * occ
+                + 2 * self.sb * s.kwin * s.tk * s.max_b * s.tn
+                + 2 * s.kwin * s.tk * s.max_b * s.tn * occ
+                + (s.max_cblock + 1) * acc_rows * s.tn * 4
+                + 4 * 2 * (s.max_cblock + 1) * s.tm * s.tn * 4)
+
+
+def _max_pairs_per_ctile(a: TileMat, b: TileMat) -> int:
+    """Max (A tile, B tile) pair count over C tiles — the int32 bound's
+    multiplicity term for the strip route (the XLA route reads it off
+    base.seg)."""
+    acsc_ptr, acsc_perm = a.csc_view()
+    bptr = b.tptr.astype(np.int64)
+    cnt_a = np.diff(acsc_ptr).astype(np.int64)
+    cnt_b = np.diff(bptr)
+    pairs_per_k = cnt_a * cnt_b
+    total = int(pairs_per_k.sum())
+    if total == 0:
+        return 1
+    kk = np.repeat(np.arange(a.gn, dtype=np.int64), pairs_per_k)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(pairs_per_k) - pairs_per_k, pairs_per_k)
+    x = off // cnt_b[kk]
+    y = off % cnt_b[kk]
+    ia = acsc_perm[acsc_ptr[kk].astype(np.int64) + x]
+    ckey = a.trow[ia].astype(np.int64) * b.gn + b.tcol[bptr[kk] + y]
+    _, cnts = np.unique(ckey, return_counts=True)
+    return int(cnts.max())
+
+
+def build_ozaki_strip(a: TileMat, b: TileMat, *,
+                      strict: bool = False,
+                      block_rows: int | None = None) -> OzakiStripPlan:
+    """Build the fused-kernel plan. Raises OzakiOverflow when the int32
+    bound or the extreme-span routing check fails (callers fall back to
+    the DD scan), ValueError when the strip geometry is infeasible
+    (callers fall back to the XLA slab engine)."""
+    from spgemm_tpu.ops.gustavson import build_strip_args
+
+    t0 = time.perf_counter()
+    dense_bytes = (a.nt * a.tm * a.tn + b.nt * b.tm * b.tn) * 8
+    if dense_bytes > (4 << 30):
+        raise OzakiOverflow(
+            f"dense cubes {dense_bytes/1e9:.1f} GB — unstructured "
+            "pattern; use the double-double scan engine")
+    ad, bd, ea, eb, sa, sb, span = _scales_and_slices_prep(
+        a, b, strict=strict)
+    tm, tk, tn = a.tm, a.tn, b.tn
+    # pair-group truncation: when the data's bit span already exceeds
+    # the slice window (general doubles), groups p > max(sa, sb) sit
+    # BELOW the slicing truncation error (dropped terms < L*2^-63 vs
+    # truncation ~2^-56 relative to the row/col scales — the standard
+    # Ozaki-scheme diagonal cut, cf. Ootomo/Ozaki/Yokota 2024) and the
+    # kernel's VPU accumulate is its bottleneck; exactly-representable
+    # data (span <= 7*S) keeps every group for bit-exactness.
+    pmax = (sa + sb - 2) if span <= 7 * min(sa, sb) \
+        else max(1, max(sa, sb) - 1)
+    import os as _os
+    _pm = _os.environ.get("SPGEMM_OZAKI_PMAX")
+    if _pm:  # A/B knob (tools/profile_ozaki_s8.py, benchdata logs)
+        pmax = min(sa + sb - 2, int(_pm))
+    _check_int32_bound(_max_pairs_per_ctile(a, b), tk, sa, sb)
+
+    stack_rows = max(32, sa * tm)  # int8 min sublane tile is 32
+
+    # windowed strip geometry; shrink block_rows until the kernel's
+    # VMEM scratch (dominated by the group-stacked int32 accumulator)
+    # fits. build_strip_args raises ValueError when windowed mode is
+    # infeasible at every size — the caller falls back to the XLA slab
+    # engine then.
+    acc_rows = (sb - 1) * tm + stack_rows
+    sargs = None
+    err = None
+    for br in ([block_rows] if block_rows else [32, 16, 8]):
+        try:
+            cand = build_strip_args(a, b, block_rows=br, window=True,
+                                    reuse=sargs)
+        except ValueError as ex:
+            err = ex
+            continue
+        vm = (2 * cand.max_ablock * stack_rows * tk
+              + 2 * sb * cand.kwin * tk * cand.max_b * tn
+              + (cand.max_cblock + 1) * acc_rows * tn * 4
+              + 8 * (cand.max_cblock + 1) * tm * tn * 4
+              + cand.vmem_bytes())  # occ planes ride the f32 estimate
+        if vm <= 95 * 1024 * 1024:
+            sargs = cand
+            break
+        sargs = cand  # reuse packed operands for the next, smaller try
+        err = ValueError(
+            f"ozaki strip VMEM {vm/1e6:.0f} MB at block_rows={br}")
+    else:
+        raise err or ValueError("ozaki strip geometry infeasible")
+
+    # int8 slice stacks in the strip layouts
+    exp_a = ea.reshape(a.gm, tm)[a.trow.astype(np.int64)][:, :, None]
+    exp_b = eb.reshape(b.gn, tn)[b.tcol.astype(np.int64)][:, None, :]
+    a_slices = _slice_int8(ad, exp_a, sa)        # (Sa, nt, tm, tk)
+    b_slices = _slice_int8(bd, exp_b, sb)        # (Sb, nt, tk, tn)
+
+    from spgemm_tpu.utils.native import pool_array
+    nt_pad = a.nt + sargs.max_ablock
+    av8 = pool_array((nt_pad, stack_rows, tk), np.int8, zero=True)
+    av8[: a.nt, : sa * tm] = a_slices.transpose(1, 0, 2, 3).reshape(
+        a.nt, sa * tm, tk)
+
+    gk_pad = sargs.b_val.shape[0]
+    bptr = b.tptr.astype(np.int64)
+    cnt_b = np.diff(bptr)
+    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
+    kb = np.repeat(np.arange(a.gn, dtype=np.int64), cnt_b)
+    slot_b = kb * sargs.max_b + rank_b
+    bp = pool_array((sb, gk_pad * sargs.max_b, tk, tn), np.int8, zero=True)
+    bp[:, slot_b] = b_slices
+    # column layout (t, y): prod[:, (t*max_b + y)*tn : ...] is slice t,
+    # B slot y — one fat N = sb*max_b*tn MXU dot per A tile
+    bv8 = pool_array((gk_pad, tk, sb * sargs.max_b * tn), np.int8)
+    np.copyto(bv8.reshape(gk_pad, tk, sb, sargs.max_b * tn),
+              bp.reshape(sb, gk_pad, sargs.max_b, tk, tn).transpose(
+                  1, 3, 0, 2, 4).reshape(gk_pad, tk, sb, sargs.max_b * tn))
+
+    return OzakiStripPlan(
+        sargs=sargs, av8=av8, bv8=bv8, ea=ea, eb=eb, sa=sa, sb=sb,
+        pmax=pmax,
+        prep_ms=(time.perf_counter() - t0) * 1e3 - sargs.symbolic_ms,
+        symbolic_ms=sargs.symbolic_ms)
+
+
+@jax.jit
+def _gather4(h, m, l, c, gidx):
+    """Block-padded -> candidate-order compaction (128-wide row gathers,
+    a fast TPU primitive — same shape as gustavson.strip_compact_device)."""
+    return h[gidx], m[gidx], l[gidx], c[gidx]
+
+
+def ozaki_strip_numeric(plan: OzakiStripPlan, device=None,
+                        sync: bool = True):
+    """Upload + run the fused kernel; returns device
+    (c_h, c_m, c_l, c_cnt) in candidate (ctrow/ctcol) order and a
+    timing dict."""
+    s = plan.sargs
+    t0 = time.perf_counter()
+    arrs = jax.device_put(
+        (plan.av8, s.a_occ, plan.bv8, s.b_occ,
+         jnp.asarray(s.aptr), jnp.asarray(s.kmin), jnp.asarray(s.meta),
+         jnp.asarray(s.gather_idx)), device)
+    jax.block_until_ready(arrs)
+    timings = {"upload_ms": (time.perf_counter() - t0) * 1e3}
+    from spgemm_tpu.ops.pallas_kernels import ozaki_strip_pallas
+
+    t0 = time.perf_counter()
+    interpret = jax.default_backend() == "cpu"
+    h, m, l, c = ozaki_strip_pallas(*arrs[:7], interpret=interpret,
+                                    **plan.kernel_kwargs())
+    out = _gather4(h, m, l, c, arrs[7])
+    if sync:
+        jax.block_until_ready(out)
+    timings["numeric_ms"] = (time.perf_counter() - t0) * 1e3
+    return out, timings
+
+
+def time_ozaki_strip(plan: OzakiStripPlan, *, loop: int = 20,
+                     repeats: int = 2, device=None) -> tuple[float, float]:
+    """Amortized per-dispatch device time for the fused kernel
+    (chained, RTT-subtracted; compaction gather included)."""
+    from spgemm_tpu.ops.pallas_kernels import ozaki_strip_pallas
+    from spgemm_tpu.utils.timing import chained_device_ms
+
+    s = plan.sargs
+    put = (lambda x: jax.device_put(x, device)) if device \
+        else jax.device_put
+    arrs = [put(x) for x in (plan.av8, s.a_occ, plan.bv8, s.b_occ,
+                             jnp.asarray(s.aptr), jnp.asarray(s.kmin),
+                             jnp.asarray(s.meta),
+                             jnp.asarray(s.gather_idx))]
+    jax.block_until_ready(arrs)
+    kw = plan.kernel_kwargs()
+
+    @jax.jit
+    def chain(av8, ao, bv8, bo, aptr, kmin, meta, gidx):
+        def body(i, acc):
+            dep = (acc * jnp.float32(1e-30)).astype(jnp.int8)
+            h, m, l, c = ozaki_strip_pallas(av8 + dep, ao, bv8, bo,
+                                            aptr, kmin, meta, **kw)
+            h, m, l, c = _gather4(h, m, l, c, gidx)
+            return acc + jnp.sum(h[:1]) + jnp.sum(c[:1])
+        return jax.lax.fori_loop(0, loop, body, jnp.float32(0))
+
+    probe = put(jnp.zeros(8, jnp.float32))
+    return chained_device_ms(chain, probe, *arrs, repeats=repeats,
+                             loop=loop)
+
+
+def _ozaki_compact_arrays(ctrow, ctcol, tm, tn, ea, eb,
+                          c_h, c_m, c_l, c_cnt,
+                          shape: tuple[int, int]) -> TileMat:
+    """Fused scale + compact on candidate-order tile stacks (shared by
+    the XLA slab route's ozaki_compact and the strip route): select the
+    structural nonzeros FIRST, then h+m+l in f64 and the
+    2^(Ea_r + Eb_c - 14) scales only on those."""
+    from spgemm_tpu.models.csr import INDEX_DTYPE
+    from spgemm_tpu.models.tile import _build_tilemat, cdiv
+
+    cnt = np.asarray(c_cnt)
+    occ = cnt > 0
+    keep = occ.any(axis=(1, 2))
+    ctrow = np.asarray(ctrow)[keep]
+    ctcol = np.asarray(ctcol)[keep]
+    occ = occ[keep]
+    h = np.asarray(c_h)[keep]
+    m_ = np.asarray(c_m)[keep]
+    l_ = np.asarray(c_l)[keep]
+    ntk = ctrow.size
+    gm, gn = cdiv(shape[0], tm), cdiv(shape[1], tn)
+
+    tid, rcflat = np.nonzero(occ.reshape(ntk, tm * tn))
+    vals = (h.reshape(ntk, tm * tn)[tid, rcflat].astype(np.float64)
+            + m_.reshape(ntk, tm * tn)[tid, rcflat]
+            + l_.reshape(ntk, tm * tn)[tid, rcflat])
+    r = rcflat // tn
+    c = rcflat % tn
+    ex = (ea.reshape(-1, tm)[ctrow[tid].astype(np.int64), r]
+          + eb.reshape(-1, tn)[ctcol[tid].astype(np.int64), c] - 14)
+    vals = np.ldexp(vals, ex)
+    tile_key = ctrow[tid].astype(np.int64) * gn + ctcol[tid]
+    return _build_tilemat(
+        shape=shape, tm=tm, tn=tn, tile_key=tile_key,
+        rc=rcflat.astype(INDEX_DTYPE), val=vals, gm=gm, gn=gn)
+
+
+def ozaki_strip_compact(plan: OzakiStripPlan, c_h, c_m, c_l, c_cnt,
+                        shape: tuple[int, int]) -> TileMat:
+    s = plan.sargs
+    return _ozaki_compact_arrays(s.ctrow, s.ctcol, s.tm, s.tn,
+                                 plan.ea, plan.eb, c_h, c_m, c_l, c_cnt,
+                                 shape)
+
+
+def _spgemm_ozaki_strip(a: TileMat, b: TileMat, *, device=None,
+                        sync: bool = True, strict: bool = False,
+                        note: str = ""):
+    """spgemm_ozaki through the fused Pallas strip kernel."""
+    from spgemm_tpu.ops.spgemm import SpGEMMResult
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    plan = build_ozaki_strip(a, b, strict=strict)
+    timings["symbolic_ms"] = plan.symbolic_ms
+    timings["prep_ms"] = max(
+        0.0, (time.perf_counter() - t0) * 1e3 - plan.symbolic_ms)
+
+    (c_h, c_m, c_l, c_cnt), t_num = ozaki_strip_numeric(
+        plan, device=device, sync=sync)
+    timings.update(t_num)
+
+    t0 = time.perf_counter()
+    c = ozaki_strip_compact(plan, c_h, c_m, c_l, c_cnt, (a.m, b.n))
+    timings["compact_ms"] = (time.perf_counter() - t0) * 1e3
+
+    s = plan.sargs
+    backend_used = f"ozaki-strip(S={plan.sa}x{plan.sb})"
+    if note:
+        backend_used += f"({note})"
+    stats = {
+        "num_pairs": float(s.num_pairs),
+        "numblkC_candidate": float(s.nt_c),
+        "numblkC": float(c.nt),
+        "nnzC": float(c.nnz),
+        "backend": backend_used,
+        "slices": float(plan.sa * plan.sb),
+    }
+    return SpGEMMResult(c=c, schedule=plan, timings_ms=timings, stats=stats)

@@ -937,3 +937,275 @@ def spmm_window_pallas(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
     )(aptr, ak, arow, kmin, a_dense, xb)
+
+
+# ---------------------------------------------------------------------------
+# Ozaki strip kernel: exact-f64 numeric fused end to end.
+#
+# The XLA ozaki engine (ops/ozaki.py:ozaki_core) materializes every
+# slice-pair product slab in HBM and pays one XLA scatter-add per pair
+# group — measured 66 ms of a 94 ms cant-scale S=8x8 dispatch, with the
+# 64 skinny (M=16) slab matmuls adding 23 ms at ~8% MXU utilization.
+# This kernel is the strip formulation of the same arithmetic
+# (reference step-4 numeric is double throughout,
+# /root/reference/src/tilespgemm-cuda.h:2649-2728):
+#
+#   * A's Sa int8 slices are stacked VERTICALLY per tile
+#     (stack_rows = Sa*tm): ONE M=128 MXU dot per (A tile, B slice t)
+#     yields the products of ALL Sa slice pairs (s, t) at once — 8 full
+#     dots instead of 64 skinny ones.
+#   * Pair-group sums build in a group-stacked VMEM accumulator:
+#     prod_t's slice-s rows land at accumulator rows (s+t)*tm, so
+#     ACC[slot] row-block p is exactly M_p = sum_{s+t=p} A_s B_t in
+#     int32 — same exactness argument as the XLA engine (the host plan
+#     guarantees the int32 bound), NO scatter, NO HBM intermediates.
+#   * The triple-float (h, m, l) reduction over groups runs per block
+#     in-kernel (exact int32 -> f32 split, 2^(-7p) power-of-two scales,
+#     cascaded TwoSum), then one block-padded writeback of 4 planes.
+#
+# Geometry (aptr/meta/slots/kmin, block-padded C, windowed B delivery)
+# is the production strip plan's, unchanged (gustavson.build_strip_args).
+# ---------------------------------------------------------------------------
+
+
+def _ozaki_strip_kernel_factory(tm, tk, tn, max_b, max_ablock, max_cblock,
+                                block_rows, gm, n_blocks, kwin,
+                                sa, sb, stack_rows, pmax):
+    W = 1 + max_b
+    meta_rows = strip_meta_rows(max_ablock, max_b)
+    n_groups = min(sa + sb - 1, pmax + 1)
+    acc_rows = max(32, n_groups * tm)
+    # rows of prod's slice-s stack kept for B slice t: groups p = s + t
+    # with p <= pmax (plan-chosen truncation; the VPU accumulate is the
+    # kernel's bottleneck and scales with kept rows)
+    kept = [max(0, min(stack_rows, (pmax + 1 - t) * tm)) for t in range(sb)]
+
+    def kernel(
+        aptr_ref,    # (gm+1,)
+        kmin_ref,    # (n_blocks,)
+        av_ref,      # (ntA_pad, stack_rows, tk) int8 — stacked A slices
+        ao_ref,      # (ntA_pad, tm, tk) occ dtype (bfloat16)
+        bv_ref,      # (gk_pad, tk, sb*max_b*tn) int8 — B slices, t-major
+        bo_ref,      # (gk_pad, tk, max_b*tn) occ dtype
+        meta_ref,    # (meta_total_rows, 128) int32
+        ch_ref, cm_ref, cl_ref,  # (n_blocks*max_cblock, tm, tn) f32
+        cc_ref,                  # (n_blocks*max_cblock, tm, tn) f32
+        av_sc,       # VMEM (2, max_ablock, stack_rows, tk) int8
+        ao_sc,       # VMEM (2, max_ablock, tm, tk) occ
+        bv_sc,       # VMEM (2, kwin, tk, sb*max_b*tn) int8
+        bo_sc,       # VMEM (2, kwin, tk, max_b*tn) occ
+        acc_sc,      # VMEM (max_cblock+1, acc_rows, tn) int32 (single buf)
+        oh_sc, om_sc, ol_sc, oc_sc,  # VMEM (2, max_cblock+1, tm, tn) f32
+        meta_sc,     # SMEM (2, meta_rows, 128) int32
+        av_sem, ao_sem, bo_sem, meta_sem,   # DMA (2,)
+        bv_sem,      # DMA (2,)
+        out_sem,     # DMA (2, 4)
+    ):
+        blk = pl.program_id(0)
+        buf = blk % 2
+
+        def in_dmas(p, slot):
+            a_lo = aptr_ref[p * block_rows]
+            klo = kmin_ref[p]
+            row0 = (a_lo * W) // 128
+            return [
+                pltpu.make_async_copy(
+                    av_ref.at[pl.ds(a_lo, max_ablock)], av_sc.at[slot],
+                    av_sem.at[slot]),
+                pltpu.make_async_copy(
+                    ao_ref.at[pl.ds(a_lo, max_ablock)], ao_sc.at[slot],
+                    ao_sem.at[slot]),
+                pltpu.make_async_copy(
+                    bv_ref.at[pl.ds(klo, kwin)], bv_sc.at[slot],
+                    bv_sem.at[slot]),
+                pltpu.make_async_copy(
+                    bo_ref.at[pl.ds(klo, kwin)], bo_sc.at[slot],
+                    bo_sem.at[slot]),
+                pltpu.make_async_copy(
+                    meta_ref.at[pl.ds(row0, meta_rows)], meta_sc.at[slot],
+                    meta_sem.at[slot]),
+            ]
+
+        def out_dmas(p, slot):
+            dst = pl.ds(p * max_cblock, max_cblock)
+            srcs = (oh_sc, om_sc, ol_sc, oc_sc)
+            dsts = (ch_ref, cm_ref, cl_ref, cc_ref)
+            return [
+                pltpu.make_async_copy(
+                    s.at[slot, pl.ds(0, max_cblock)], d.at[dst],
+                    out_sem.at[slot, i])
+                for i, (s, d) in enumerate(zip(srcs, dsts))
+            ]
+
+        @pl.when(blk == 0)
+        def _():
+            for d in in_dmas(0, 0):
+                d.start()
+
+        @pl.when(blk + 1 < n_blocks)
+        def _():
+            for d in in_dmas(blk + 1, 1 - buf):
+                d.start()
+
+        for d in in_dmas(blk, buf):
+            d.wait()
+
+        @pl.when(blk >= 2)
+        def _():
+            for d in out_dmas(blk - 2, buf):
+                d.wait()
+
+        acc_sc[...] = jnp.zeros_like(acc_sc)
+        oc_sc[buf] = jnp.zeros_like(oc_sc[buf])
+
+        i0 = blk * block_rows
+        a_lo = aptr_ref[i0]
+        a_hi = aptr_ref[jnp.minimum(i0 + block_rows, gm)]
+        klo = kmin_ref[blk]
+        meta_base = ((a_lo * W) // 128) * 128
+
+        def meta_read(flat):
+            loc = flat - meta_base
+            return meta_sc[buf, loc // 128, loc % 128]
+
+        def t_body(g, _):
+            w = meta_read(g * W) - klo
+            la = g - a_lo
+            prod_o = jnp.dot(
+                ao_sc[buf, la], bo_sc[buf, w],
+                preferred_element_type=jnp.float32)
+            # ONE fat MXU dot per tile: all Sa slice rows x all
+            # (t, y) B columns at once (N = sb*max_b*tn)
+            prod = jax.lax.dot_general(
+                av_sc[buf, la], bv_sc[buf, w],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            for y in range(max_b):
+                s = meta_read(g * W + 1 + y)
+                for t in range(sb):  # static unroll; slice-s rows of B
+                    if kept[t] == 0:   # slice t accumulate at group
+                        continue       # rows (s+t)*tm, truncated at pmax
+                    col = (t * max_b + y) * tn
+                    acc_sc[s, t * tm : t * tm + kept[t]] += (
+                        prod[: kept[t], col : col + tn])
+                oc_sc[buf, s] += prod_o[:, y * tn : (y + 1) * tn]
+            return 0
+
+        jax.lax.fori_loop(a_lo, a_hi, t_body, 0)
+
+        # triple-float reduce of the group accumulators (VPU): exact
+        # int32 -> (mh, ml) f32 split, power-of-two scales, cascaded
+        # TwoSum — identical arithmetic to ops/ozaki.py:_acc3
+        h = jnp.zeros((max_cblock + 1, tm, tn), jnp.float32)
+        m = jnp.zeros((max_cblock + 1, tm, tn), jnp.float32)
+        low = jnp.zeros((max_cblock + 1, tm, tn), jnp.float32)
+
+        def two_sum(x, y):
+            s = x + y
+            bb = s - x
+            return s, (x - (s - bb)) + (y - bb)
+
+        for p in range(n_groups):
+            mp = acc_sc[:, p * tm : (p + 1) * tm, :]
+            mh = mp.astype(jnp.float32)
+            ml = (mp - mh.astype(jnp.int32)).astype(jnp.float32)
+            scale = jnp.float32(2.0 ** (-7 * p))
+            for x in (mh * scale, ml * scale):
+                h, e = two_sum(h, x)
+                m, e2 = two_sum(m, e)
+                low = low + e2
+        oh_sc[buf] = h
+        om_sc[buf] = m
+        ol_sc[buf] = low
+
+        for d in out_dmas(blk, buf):
+            d.start()
+
+        @pl.when(blk == n_blocks - 1)
+        def _():
+            @pl.when(blk >= 1)
+            def _():
+                for d in out_dmas(blk - 1, 1 - buf):
+                    d.wait()
+
+            for d in out_dmas(blk, buf):
+                d.wait()
+
+    return kernel
+
+
+def ozaki_strip_pallas(
+    av8: jax.Array,      # (ntA_pad, stack_rows, tk) int8 stacked A slices
+    a_occ: jax.Array,    # (ntA_pad, tm, tk) occ dtype
+    bv8: jax.Array,      # (gk_pad, tk, sb*max_b*tn) int8 B slices, t-major
+    b_occ: jax.Array,    # (gk_pad, tk, max_b*tn) occ dtype
+    aptr: jax.Array,
+    kmin: jax.Array,
+    meta: jax.Array,
+    *,
+    gm: int,
+    tm: int,
+    max_b: int,
+    max_ablock: int,
+    max_cblock: int,
+    block_rows: int,
+    kwin: int,
+    sa: int,
+    sb: int,
+    pmax: int | None = None,
+    interpret: bool = False,
+):
+    """Fused exact-f64 strip numeric. Returns (c_h, c_m, c_l, c_cnt) in
+    the block-padded layout (n_blocks*max_cblock, tm, tn), all f32 —
+    the UNSCALED triple-float sums sum_p M_p 2^(-7p) plus structural
+    counts; the host applies 2^(Ea_r + Eb_c - 14) in f64
+    (ops/ozaki.py: strip compact path). pmax truncates pair groups
+    p = s + t (plan-chosen; None keeps all)."""
+    _, stack_rows, tk = av8.shape
+    tn = b_occ.shape[2] // max_b
+    occ_dtype = a_occ.dtype
+    n_blocks = max(1, -(-gm // block_rows))
+    if pmax is None:
+        pmax = sa + sb - 2
+    n_groups = min(sa + sb - 1, pmax + 1)
+    acc_rows = max(32, n_groups * tm)
+    meta_rows = strip_meta_rows(max_ablock, max_b)
+
+    kernel = _ozaki_strip_kernel_factory(
+        tm, tk, tn, max_b, max_ablock, max_cblock, block_rows, gm,
+        n_blocks, kwin, sa, sb, stack_rows, pmax)
+    scratch = [
+        pltpu.VMEM((2, max_ablock, stack_rows, tk), jnp.int8),
+        pltpu.VMEM((2, max_ablock, tm, tk), occ_dtype),
+        pltpu.VMEM((2, kwin, tk, sb * max_b * tn), jnp.int8),
+        pltpu.VMEM((2, kwin, tk, max_b * tn), occ_dtype),
+        pltpu.VMEM((max_cblock + 1, acc_rows, tn), jnp.int32),
+        pltpu.VMEM((2, max_cblock + 1, tm, tn), jnp.float32),
+        pltpu.VMEM((2, max_cblock + 1, tm, tn), jnp.float32),
+        pltpu.VMEM((2, max_cblock + 1, tm, tn), jnp.float32),
+        pltpu.VMEM((2, max_cblock + 1, tm, tn), jnp.float32),
+        pltpu.SMEM((2, meta_rows, 128), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        scratch_shapes=scratch,
+    )
+    shp = (n_blocks * max_cblock, tm, tn)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(shp, jnp.float32)] * 4,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(aptr, kmin, av8, a_occ, bv8, b_occ, meta)

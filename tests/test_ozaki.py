@@ -263,3 +263,86 @@ def test_f64_route_escape_hatch(monkeypatch):
     a = _banded(300, 3, lambda k, r: r.standard_normal(k), rng)
     cc, res = spgemm_csr(a, None, compute_dtype=np.float64)
     assert res.stats["backend"] == "esc"
+
+
+# --- fused strip kernel route (ops/pallas_kernels.py:ozaki_strip_pallas) ----
+
+def test_strip_route_integer_bit_exact(monkeypatch):
+    """Forced fused-kernel route, S=1 integer model: bit-exact f64."""
+    monkeypatch.setenv("SPGEMM_OZAKI_KERNEL", "strip")
+    rng = np.random.default_rng(3)
+    a = _banded(500, 8, lambda k, r: r.integers(-9, 10, k).astype(np.float64)
+                + (r.integers(0, 2, k) == 0), rng)
+    at = csr_to_tiles(a, 32, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    res = spgemm_ozaki(at, bt)
+    assert "ozaki-strip" in res.stats["backend"], res.stats["backend"]
+    got = _scipy_from_tiles(res)
+    ref = (_scipy(a) @ _scipy(a)).tocsr()
+    assert np.abs((got - ref)).max() == 0.0
+
+
+def _scipy_from_tiles(res):
+    c = res.c.to_csr()
+    return sp.csr_matrix((c.data, c.indices, c.indptr), shape=c.shape)
+
+
+def test_strip_route_general_f64_error_class(monkeypatch):
+    """Gaussian values (S=8x8, truncated regime): the fused kernel's
+    pair-group cut (pmax = S-1, the Ootomo diagonal) must stay in the
+    same error class as the all-pairs XLA slab engine."""
+    rng = np.random.default_rng(4)
+    a = _banded(400, 6, lambda k, r: r.standard_normal(k), rng)
+    at = csr_to_tiles(a, 32, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    ref = (_scipy(a) @ _scipy(a)).tocsr()
+    scale = np.abs(ref).max()
+    errs = {}
+    for mode in ("strip", "xla"):
+        monkeypatch.setenv("SPGEMM_OZAKI_KERNEL", mode)
+        res = spgemm_ozaki(at, bt)
+        assert ("ozaki-strip" in res.stats["backend"]) == (mode == "strip")
+        errs[mode] = np.abs(_scipy_from_tiles(res) - ref).max() / scale
+    assert errs["strip"] <= 1e-12
+    assert errs["strip"] <= 50 * max(errs["xla"], 1e-16)
+
+
+def test_strip_route_falls_back_to_xla_when_unwindowed(monkeypatch):
+    """An arrow pattern (one dense tile-row spanning every k) defeats the
+    windowed-B delivery; auto must fall back to the XLA slab engine."""
+    monkeypatch.setenv("SPGEMM_OZAKI_KERNEL", "auto")
+    n = 4096
+    r = np.concatenate([np.zeros(n // 8, np.int64),
+                        np.arange(n, dtype=np.int64)])
+    c = np.concatenate([np.arange(0, n, 8, dtype=np.int64),
+                        np.arange(n, dtype=np.int64)])
+    v = ((r + c) % 7 + 1).astype(np.float64)
+    a = CSR.from_coo(r, c, v, (n, n))
+    at = csr_to_tiles(a, 32, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    res = spgemm_ozaki(at, bt)
+    # windowed infeasible at every block_rows (k span == gk for row 0)
+    # -> either the cached-geometry fallback tag or a plain xla run
+    assert "ozaki(S=" in res.stats["backend"], res.stats["backend"]
+    got = _scipy_from_tiles(res)
+    ref = (_scipy(a) @ _scipy(a)).tocsr()
+    assert np.abs(got - ref).max() == 0.0
+
+
+def test_strip_pmax_knob(monkeypatch):
+    """SPGEMM_OZAKI_PMAX truncates pair groups; pmax=0 on gaussian data
+    is a deliberately coarse result (top slice only), pmax large matches
+    the default's class."""
+    rng = np.random.default_rng(5)
+    a = _banded(300, 5, lambda k, r: r.standard_normal(k), rng)
+    at = csr_to_tiles(a, 32, 128)
+    bt = csr_to_tiles(a, 128, 128)
+    ref = (_scipy(a) @ _scipy(a)).tocsr()
+    scale = np.abs(ref).max()
+    monkeypatch.setenv("SPGEMM_OZAKI_KERNEL", "strip")
+    monkeypatch.setenv("SPGEMM_OZAKI_PMAX", "0")
+    coarse = np.abs(_scipy_from_tiles(spgemm_ozaki(at, bt)) - ref).max() / scale
+    monkeypatch.setenv("SPGEMM_OZAKI_PMAX", "14")
+    fine = np.abs(_scipy_from_tiles(spgemm_ozaki(at, bt)) - ref).max() / scale
+    assert fine <= 1e-12
+    assert coarse > 1e-6  # one 7-bit slice pair cannot reach f64 class

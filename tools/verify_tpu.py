@@ -146,17 +146,52 @@ print(f"fp64 explicit ozaki (S=1 int8 matmul) ok={okdo} "
       f"(backend={rdo.stats['backend']})")
 fails += not okdo
 # scatter-free combine on real hardware: permute + WRAPPING int32
-# cumsum + boundary diffs must equal the scatter path exactly
+# cumsum + boundary diffs must equal the scatter path exactly (an XLA
+# slab engine A/B — force the xla kernel, the combine knob is inert on
+# the fused strip route)
 import os as _os
 
-_os.environ["SPGEMM_OZAKI_COMBINE"] = "cumsum"
+_os.environ["SPGEMM_OZAKI_KERNEL"] = "xla"
 try:
+    cdx, _ = spgemm_csr(astr, compute_dtype=jnp.float64, backend="ozaki")
+    _os.environ["SPGEMM_OZAKI_COMBINE"] = "cumsum"
     cdc, _ = spgemm_csr(astr, compute_dtype=jnp.float64, backend="ozaki")
-    okdc = np.array_equal(cdc.to_dense(), cdo.to_dense())
+    okdc = np.array_equal(cdc.to_dense(), cdx.to_dense())
 finally:
     _os.environ.pop("SPGEMM_OZAKI_COMBINE", None)
+    _os.environ.pop("SPGEMM_OZAKI_KERNEL", None)
 print(f"ozaki cumsum combine == scatter on hw ok={okdc}")
 fails += not okdc
+# r4: the fused strip kernel (int8 MXU dots + VMEM group accumulators +
+# in-kernel triple-float) must route, run on real Mosaic, and be
+# bit-exact on the integer model / f64-class on gaussian values
+okst = ("ozaki-strip" in str(rdo.stats["backend"])
+        and np.array_equal(cdx.to_dense(), cdo.to_dense()))
+print(f"ozaki fused strip kernel == xla slab engine (S=1, exact) "
+      f"ok={okst} (backend={rdo.stats['backend']})")
+fails += not okst
+# Mosaic must not algebraically fold the in-kernel TwoSum (the fused
+# kernel's triple-float compensation depends on IEEE-exact rounding of
+# (a + b) - a); a folded compile would return err == 0 here
+import jax as _jax
+from jax.experimental import pallas as _pl
+
+
+def _twosum_probe(x_ref, o_ref):
+    x = x_ref[...]
+    y = x * jnp.float32(2.0 ** -30)
+    s = x + y
+    bb = s - x
+    o_ref[...] = (x - (s - bb)) + (y - bb)
+
+
+_tp = _pl.pallas_call(
+    _twosum_probe,
+    out_shape=_jax.ShapeDtypeStruct((8, 128), jnp.float32),
+)(jnp.full((8, 128), 1.0, jnp.float32))
+oktf = bool(np.all(np.asarray(_tp) == np.float32(2.0 ** -30)))
+print(f"mosaic TwoSum not folded (err == 2^-30) ok={oktf}")
+fails += not oktf
 # general-significand f64 through ozaki (S=8x8, 64 slice pairs; also
 # checks the XLA TwoSum combine is not algebraically folded on TPU)
 rngo = np.random.default_rng(42)
