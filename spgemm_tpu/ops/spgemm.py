@@ -849,8 +849,10 @@ def time_dense(a: TileMat, b: TileMat, *, loop: int = 10, repeats: int = 2,
     bd_h = b.to_dense_padded(np.float32)
     ad = jax.device_put(jnp.asarray(ad_h, dtype=compute_dtype))
     bd = jax.device_put(jnp.asarray(bd_h, dtype=compute_dtype))
-    ao = jax.device_put(jnp.asarray(ad_h != 0, dtype=jnp.bfloat16))
-    bo = jax.device_put(jnp.asarray(bd_h != 0, dtype=jnp.bfloat16))
+    # occupancy from the STORED pattern like _spgemm_dense — a values
+    # test would miscount matrices with explicit zeros (VERDICT r3 #10)
+    ao = jax.device_put(jnp.asarray(a.occ_dense_padded(), jnp.bfloat16))
+    bo = jax.device_put(jnp.asarray(b.occ_dense_padded(), jnp.bfloat16))
     jax.block_until_ready((ad, bd, ao, bo))
 
     from spgemm_tpu.utils.timing import chained_device_ms

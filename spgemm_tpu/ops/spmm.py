@@ -127,12 +127,16 @@ def _spmm_mode(a: TileMat, k_pad: int, block_rows: int = 64):
 def spmm(a: TileMat, x, *, dtype=jnp.float32, backend: str = "auto") -> jax.Array:
     """Y = A @ X. x: (n, k) or (n,) array-like. Returns (m, k) / (m,).
 
-    backend "auto" uses a Pallas kernel when tile shapes and VMEM allow
-    (X fully resident in VMEM when it fits — spmm_strip_pallas — else a
-    per-block contiguous X window, spmm_window_pallas), falling back to
-    the XLA gather path otherwise. "xla" forces the gather path; "strip"
-    requires a kernel mode and raises ValueError when neither fits
-    (alignment or VMEM).
+    backend "auto" picks by a modelled HBM-traffic comparison: the
+    raw-CSR gather path (spmm_gather — one 128-wide X row gather per
+    nonzero) when its bytes undercut the tile kernel's (sparse
+    unstructured tiles waste tile bandwidth on padding; a 16 MB floor
+    keeps tiny problems on the kernel), else a Pallas strip kernel
+    (X fully VMEM-resident when it fits — spmm_strip_pallas — else a
+    per-block contiguous X window, spmm_window_pallas), else the XLA
+    fallback. "gather" forces the raw-CSR path; "xla" forces the XLA
+    tile path; "strip" requires a kernel mode and raises ValueError
+    when neither fits (alignment or VMEM).
     """
     x = np.asarray(x)
     vec = x.ndim == 1
@@ -272,7 +276,7 @@ def _pack_spmm_gather(a_csr, x, np_dt, cap: int = 512, gran: int = 4):
 
 
 def spmm_gather(a_csr, x, *, dtype=jnp.float32, cap: int = 512,
-                gran: int = 4):
+                gran: int = 4, fuse: bool = True):
     """Y = A @ X for unstructured A, straight from CSR: no tiles, no
     scatter — one 128-wide X row gather per nonzero fused into a VPU
     multiply-reduce over row-length classes. Computes in `dtype`
@@ -286,14 +290,21 @@ def spmm_gather(a_csr, x, *, dtype=jnp.float32, cap: int = 512,
     speed-of-light at the ~450 GB/s practical stream rate — the
     formulation is gather-bandwidth-bound by design (the earlier
     one-hot MXU contraction spent 256x the flops to avoid the gather
-    and lost: 3.5-11.5 GFLOPS measured at n=8192)."""
+    and lost: 3.5-11.5 GFLOPS measured at n=8192).
+
+    fuse=True (production default) reduces with an in-kernel VPU
+    multiply-reduce; fuse=False uses an MXU dot_general per class — an
+    A/B kept for tools/measure_spmm_gather.py. Env SPGEMM_SPMM_FUSE
+    overrides the default for measurement runs only."""
     np_dt = np.dtype(jnp.dtype(dtype).name)
     if np_dt == np.float64 and not jax.config.jax_enable_x64:
         raise ValueError(
             "float64 gather SpMM needs jax_enable_x64=True")
     import os as _os
 
-    fuse = _os.environ.get("SPGEMM_SPMM_FUSE", "1") == "1"
+    _env = _os.environ.get("SPGEMM_SPMM_FUSE")
+    if _env is not None:
+        fuse = _env == "1"
     xb, classes, k, k_pad = _pack_spmm_gather(a_csr, x, np_dt)
     y = np.zeros((a_csr.m, k_pad), np_dt)
     for av, col, rows in classes:
@@ -418,7 +429,8 @@ def time_spmm_gather(a_csr, x, *, loop: int = 20,
 
     import os as _os
 
-    fuse = _os.environ.get("SPGEMM_SPMM_FUSE", "1") == "1"
+    _env = _os.environ.get("SPGEMM_SPMM_FUSE")
+    fuse = _env == "1" if _env is not None else True
 
     @jax.jit
     def chain(xd, *flat):

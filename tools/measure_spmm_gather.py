@@ -38,15 +38,20 @@ def main() -> int:
     for name, a in cases.items():
         x = rng.standard_normal((a.n, k)).astype(np.float32)
         flops = 2.0 * a.nnz * k
-        # value check once (barrier variant is the production default)
-        os.environ["SPGEMM_SPMM_FUSE"] = "0"
-        y = spmm_gather(a, x)
+        # value-check BOTH variants against the scipy oracle (the fused
+        # VPU reduce is the production default; the MXU form is the A/B
+        # — checking only one would leave the other unexercised,
+        # ADVICE r3 #1)
         import scipy.sparse as sp
 
         ref = sp.csr_matrix((a.data, a.indices, a.indptr),
                             shape=a.shape) @ x
-        rel = float(np.abs(y - ref).max() /
-                    max(np.abs(ref).max(), 1e-30))
+        rel = 0.0
+        for fuse_chk in ("1", "0"):
+            os.environ["SPGEMM_SPMM_FUSE"] = fuse_chk
+            y = spmm_gather(a, x)
+            rel = max(rel, float(np.abs(y - ref).max() /
+                                 max(np.abs(ref).max(), 1e-30)))
         ok = rel < 1e-5
         row = [f"{name:14s} nnz={a.nnz:>9}"]
         for tag, fuse in (("mxu", "0"), ("fused", "1")):

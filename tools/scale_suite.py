@@ -112,10 +112,17 @@ def main(argv=None) -> int:
         balance = float(per_dev.max() / max(per_dev.mean(), 1))
 
         # functional run + value check (virtual mesh on CPU; real chip
-        # only supports d=1)
+        # only supports d=1). Device counts beyond the available mesh are
+        # NOT written to the CSV: a 'skipped' row with an empty wall adds
+        # nothing a reader can use (VERDICT r3 #9) — the model columns
+        # for those D come from the default (modelled) run.
         wall_ms = ""
         check = "skipped"
         meas_ag_ms = meas_step_ms = ""
+        if d > ndev_avail:
+            print(f"D={d}: only {ndev_avail} device(s) here — not writing "
+                  "a skipped row", file=sys.stderr)
+            continue
         if d <= ndev_avail:
             mesh = make_mesh(d)
             t0 = time.perf_counter()
