@@ -629,7 +629,10 @@ def place_strip_partition(
     names = ("a_val", "a_occ", "b_val", "b_occ", "aptr", "x1", "x2",
              "gidx")
     per_dev: list = [[] for _ in names]
+    proc = jax.process_index()
     for d in range(ndev):
+        if devices[d].process_index != proc:
+            continue  # multi-host: build ONLY this host's shards
         host = shard_arrays(d)
         for i, arr in enumerate(host):
             per_dev[i].append(jax.device_put(arr, devices[d]))
@@ -771,6 +774,16 @@ def spgemm_sharded_strip(
             jnp.asarray(plan.aptr), jnp.asarray(plan.x1),
             jnp.asarray(plan.x2), jnp.asarray(plan.gidx),
         )
+    if jax.process_count() > 1:
+        # multi-host: the outputs are global arrays whose shards live on
+        # other hosts; gather them so every host assembles the full C
+        # (tests/test_multihost.py exercises this across 2 real
+        # processes — production pattern-static serving would keep the
+        # result sharded instead of materializing it per host)
+        from jax.experimental import multihost_utils
+
+        v_d = multihost_utils.process_allgather(v_d, tiled=True)
+        occ_d = multihost_utils.process_allgather(occ_d, tiled=True)
     v = np.asarray(v_d)
     if pack_bits:
         from spgemm_tpu.ops.gustavson import unpack_occ_words
