@@ -69,6 +69,11 @@ def main():
     from spgemm_tpu.models.tile import csr_to_tiles
     from spgemm_tpu.ops.executor import StripExecutor
 
+    # one-time-per-VM-boot page provisioning, off the timed regions
+    # (see utils/native.py:pool_boot_provision)
+    from spgemm_tpu.utils.native import pool_boot_provision
+    pool_boot_provision(wait=True)
+
     a = make_cantlike(ROWS, BAND)
     nnz_cub = flop_count_spgemm(a, a)
     print(f"# matrix {ROWS}x{ROWS} nnz={a.nnz} nnzCub={nnz_cub} "

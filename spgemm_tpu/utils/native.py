@@ -14,6 +14,7 @@ import os
 import subprocess
 import sys
 import threading
+import time
 
 import numpy as np
 
@@ -350,6 +351,15 @@ _ARENA_MAX = int(os.environ.get("SPGEMM_POOL_MAX_GB", "100")) << 30
 _arena_mm = None       # the mmap object, or False if unavailable
 _arena_off = 0         # carve cursor (bytes)
 _arena_fd = -1
+# Sidecar recording which arena ranges have ever been resident ("off len"
+# lines) — pool_boot_provision re-populates them so every plan build runs
+# on provisioned pages no matter which process touched them first. The
+# carve cursor itself is useless for this: pow2 caps make it a sparse
+# VIRTUAL bound (measured 70 GB cursor for ~15 GB touched), and populating
+# untouched pages would materialize them for nothing.
+_ARENA_HWM_PATH = _ARENA_PATH + ".hwm"
+_boot_thread = None    # the one-per-process background provisioner
+_exit_scan_armed = False
 
 
 def _arena_attach():
@@ -404,15 +414,146 @@ def _new_buffer(cap: int):
     two live pool arrays handed the same memory). frombuffer's base is
     the mmap object, where the collapse stops, so each carve anchors its
     own view chain exactly like an owning np.empty buffer does."""
-    global _arena_off
+    global _arena_off, _exit_scan_armed
     mm = _arena_attach()
     if mm is not False and _arena_off + cap <= len(mm):
         buf = np.frombuffer(mm, np.uint8, count=cap, offset=_arena_off)
         _arena_off += cap
+        if not _exit_scan_armed:
+            _exit_scan_armed = True
+            import atexit
+
+            atexit.register(_hwm_save)
         return buf
     buf = np.empty(cap, np.uint8)
     madvise_hugepage(buf)
     return buf
+
+
+def _arena_base() -> int:
+    return np.frombuffer(_arena_mm, np.uint8, count=1).ctypes.data
+
+
+def _resident_ranges(upto: int) -> list[tuple[int, int]]:
+    """(offset, length) runs of resident arena pages in [0, upto),
+    via mincore — the ground truth for which pages this boot has
+    provisioned, independent of who touched them or how."""
+    global _libc
+    if _libc is None:
+        madvise_hugepage()  # initializes _libc
+    if not _libc:
+        return []
+    try:
+        _libc.mincore.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                  ctypes.c_char_p]
+    except AttributeError:
+        return []
+    base = _arena_base()
+    page = 4096
+    ranges: list[tuple[int, int]] = []
+    chunk = 1 << 32
+    for off in range(0, upto, chunk):
+        ln = min(chunk, upto - off)
+        npg = (ln + page - 1) // page
+        vec = ctypes.create_string_buffer(npg)
+        if _libc.mincore(base + off, ln, vec) != 0:
+            continue
+        bits = np.frombuffer(vec, np.uint8, count=npg) & 1
+        edge = np.diff(np.concatenate(([0], bits, [0])))
+        for s, e in zip(np.flatnonzero(edge == 1),
+                        np.flatnonzero(edge == -1)):
+            start = off + int(s) * page
+            length = int(e - s) * page
+            if ranges and ranges[-1][0] + ranges[-1][1] == start:
+                ranges[-1] = (ranges[-1][0], ranges[-1][1] + length)
+            else:
+                ranges.append((start, length))
+    return ranges
+
+
+def _hwm_read() -> list[tuple[int, int]]:
+    try:
+        out = []
+        with open(_ARENA_HWM_PATH) as f:
+            for line in f:
+                off, ln = line.split()
+                out.append((int(off), int(ln)))
+        return out
+    except (OSError, ValueError):
+        return []
+
+
+def _hwm_save() -> None:
+    """atexit: union this process's resident arena ranges into the
+    sidecar (atomic rename; the arena flock serializes writers)."""
+    if not _arena_mm or _arena_off <= 0:
+        return
+    try:
+        spans = _hwm_read() + _resident_ranges(_arena_off)
+        spans.sort()
+        merged: list[list[int]] = []
+        for off, ln in spans:
+            if merged and off <= merged[-1][0] + merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], off + ln - merged[-1][0])
+            else:
+                merged.append([off, ln])
+        tmp = _ARENA_HWM_PATH + f".{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.writelines(f"{off} {ln}\n" for off, ln in merged)
+        os.replace(tmp, _ARENA_HWM_PATH)
+    except (OSError, ValueError):
+        pass
+
+
+def pool_boot_provision(wait: bool = False) -> int:
+    """Populate the arena ranges previous processes had resident.
+
+    Host-memory model (see _arena_attach): the VMM provisions each
+    guest page ONCE per VM boot at ~0.13 GB/s; already-provisioned
+    tmpfs pages re-populate into a new process at ~17 GB/s. Round 3
+    paid that one-time cost as a 480 s cliff inside the first timed
+    plan build. This runs it up front instead: synchronously when the
+    pages are warm (sub-second per 10 GB), in a daemon thread when the
+    boot is fresh (the cost overlaps matrix load / TPU tunnel waits).
+    Tools call wait=True before their timed regions. Returns the byte
+    count provisioned (0 when there is no arena or no recorded state).
+    Disable with SPGEMM_POOL_BOOT=0."""
+    global _boot_thread
+    if os.environ.get("SPGEMM_POOL_BOOT", "1") == "0":
+        return 0
+    mm = _arena_attach()
+    if mm is False:
+        return 0
+    spans = [(off, ln) for off, ln in _hwm_read()
+             if 0 <= off and off + ln <= len(mm)]
+    total = sum(ln for _, ln in spans)
+    if total <= 0:
+        return 0
+    if _boot_thread is not None:
+        if wait:
+            _boot_thread.join()
+        return total
+    base = _arena_base()
+    chunk = 256 << 20
+    t0 = time.perf_counter()
+    first_off, first_ln = spans[0]
+    head = min(chunk, first_ln)
+    _madvise_populate_write(base + first_off, head)
+    warm = (time.perf_counter() - t0) < 0.5
+    rest = [(first_off + head, first_ln - head)] + spans[1:]
+
+    def _populate_rest():
+        for off, ln in rest:
+            for o in range(off, off + ln, chunk):
+                _madvise_populate_write(base + o, min(chunk, off + ln - o))
+
+    if warm or wait:
+        _populate_rest()
+        return total
+    _boot_thread = threading.Thread(target=_populate_rest, daemon=True,
+                                    name="spgemm-pool-provision")
+    _boot_thread.start()
+    return total
 
 
 def pool_array(shape, dtype, *, zero: bool = False, fill=None):
@@ -458,6 +599,7 @@ def pool_prewarm(nbytes: int, parts: int = 4,
     the first build allocates fresh unfaulted buffers."""
     mm = _arena_attach()
     if mm is not False:
+        pool_boot_provision(wait=True)  # prior processes' carve ranges
         want = min(max(nbytes, part_cap or 0), len(mm))
         view = np.frombuffer(mm, np.uint8, count=want)
         _madvise_populate_write(view.ctypes.data, want)
