@@ -14,6 +14,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <cmath>
+#include <limits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -1003,6 +1005,129 @@ void esc_gather_planes(const int32_t* asrc, const int32_t* bsrc,
     } else {
       av[i] = 0.0f;
       bv[i] = 0.0f;
+    }
+  }
+}
+
+// --- Ozaki int8 slicing (ops/ozaki.py build_ozaki_strip) -------------------
+// Host prep of the exact-f64 engine, straight from tile CSR. Replaces
+// the dense-f64-cube pipeline (_scales_and_slices_prep + _slice_int8 +
+// two layout copies: ~14 s warm at cant scale, memory-bound on
+// 8 full-cube passes) with three O(nnz) tile-local passes (~0.1 s).
+// No reference counterpart (the reference computes f64 on CUDA FMA
+// hardware directly, src/common.h:22; slicing is the TPU formulation).
+
+// Pass 1: per-row (axis=0: idx = towner[t]*span + rc/tn) or per-column
+// (axis=1: idx = towner[t]*span + rc%tn) scatter-max of |v|.
+// out must be zeroed, length gdim*span.
+void ozaki_absmax(
+    const int32_t* tnnz_ptr, const int32_t* rc, const double* val,
+    const int32_t* towner, int64_t nt, int64_t tn, int64_t span,
+    int64_t axis, double* out) {
+  const bool p2 = (tn & (tn - 1)) == 0;
+  const int sh = p2 ? __builtin_ctzll((uint64_t)tn) : 0;
+  for (int64_t t = 0; t < nt; ++t) {
+    double* o = out + (int64_t)towner[t] * span;
+    for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
+      const int64_t i = axis == 0 ? (p2 ? rc[p] >> sh : rc[p] / tn)
+                                  : (p2 ? rc[p] & (tn - 1) : rc[p] % tn);
+      const double a = std::fabs(val[p]);
+      if (a > o[i]) o[i] = a;
+    }
+  }
+}
+
+// Pass 2: bit span vs the scale exponents (max over nonzeros of
+// E - lsb_exponent(v), matching ops/ozaki.py:_span_slices), plus the
+// global |v| max and nonzero |v| min for the extreme-span routing
+// check. out3 = [span, absmax, absmin_nz] (absmin_nz = inf if none).
+void ozaki_span(
+    const int32_t* tnnz_ptr, const int32_t* rc, const double* val,
+    const int32_t* towner, int64_t nt, int64_t tn, int64_t span,
+    int64_t axis, const int64_t* exps, double* out3) {
+  const bool p2 = (tn & (tn - 1)) == 0;
+  const int sh = p2 ? __builtin_ctzll((uint64_t)tn) : 0;
+  int64_t bits = 0;
+  double amax = 0.0, amin = std::numeric_limits<double>::infinity();
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t* e_of = exps + (int64_t)towner[t] * span;
+    for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
+      const double v = val[p];
+      if (v == 0.0) continue;
+      const int64_t i = axis == 0 ? (p2 ? rc[p] >> sh : rc[p] / tn)
+                                  : (p2 ? rc[p] & (tn - 1) : rc[p] % tn);
+      int e;
+      const double mant = std::frexp(v, &e);
+      const uint64_t mi = (uint64_t)std::fabs(std::ldexp(mant, 53));
+      const int64_t lsb = (int64_t)e - 53 + __builtin_ctzll(mi);
+      const int64_t b = e_of[i] - lsb;
+      if (b > bits) bits = b;
+      const double a = std::fabs(v);
+      if (a > amax) amax = a;
+      if (a < amin) amin = a;
+    }
+  }
+  out3[0] = (double)bits;
+  out3[1] = amax;
+  out3[2] = amin;
+}
+
+// Pass 3, A side: int8 digit stacks in the fused strip kernel's
+// stacked-rows layout, av8[t, s*tm + r, c] = digit_s of tile t's (r,c).
+// x0 = v * 2^(7-E); digit_s = trunc(x_s); x_{s+1} = (x_s - digit_s)*128
+// — every step exact in f64 (|v| < 2^E so |x0| < 128). av8 pre-zeroed,
+// (nt_pad, stack_rows, tk) with stack_rows >= sa*tm.
+void ozaki_slice_a(
+    const int32_t* tnnz_ptr, const int32_t* rc, const double* val,
+    const int32_t* trow, int64_t nt, int64_t tm, int64_t tk,
+    int64_t sa, int64_t stack_rows, const int64_t* ea,
+    int8_t* av8) {
+  const bool p2 = (tk & (tk - 1)) == 0;
+  const int sh = p2 ? __builtin_ctzll((uint64_t)tk) : 0;
+  for (int64_t t = 0; t < nt; ++t) {
+    const int64_t* e_of = ea + (int64_t)trow[t] * tm;
+    int8_t* tile = av8 + t * stack_rows * tk;
+    for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
+      const int64_t r = p2 ? rc[p] >> sh : rc[p] / tk;
+      const int64_t c = p2 ? rc[p] & (tk - 1) : rc[p] % tk;
+      double x = std::ldexp(val[p], 7 - (int)e_of[r]);
+      for (int64_t s = 0; s < sa; ++s) {
+        const double q = std::trunc(x);
+        tile[(s * tm + r) * tk + c] = (int8_t)q;
+        x = (x - q) * 128.0;
+      }
+    }
+  }
+}
+
+// Pass 3, B side: bv8[k, r, (s*max_b + y)*tn + c] = digit_s of k-group
+// tile rank y's (r,c) — the fat-N column layout the kernel's one MXU
+// dot per A tile expects. bv8 pre-zeroed, (gk_pad, tk, sb*max_b*tn).
+void ozaki_slice_b(
+    const int32_t* tptr, const int32_t* tnnz_ptr, const int32_t* rc,
+    const double* val, const int32_t* tcol,
+    int64_t gk, int64_t tk, int64_t tn, int64_t max_b,
+    int64_t sb, const int64_t* eb, int8_t* bv8) {
+  const bool p2 = (tn & (tn - 1)) == 0;
+  const int sh = p2 ? __builtin_ctzll((uint64_t)tn) : 0;
+  const int64_t width = sb * max_b * tn;
+  for (int64_t k = 0; k < gk; ++k) {
+    int8_t* slab = bv8 + k * tk * width;
+    const int32_t nb = tptr[k + 1] - tptr[k];
+    for (int32_t y = 0; y < nb && y < (int32_t)max_b; ++y) {
+      const int32_t t = tptr[k] + y;
+      const int64_t* e_of = eb + (int64_t)tcol[t] * tn;
+      for (int32_t p = tnnz_ptr[t]; p < tnnz_ptr[t + 1]; ++p) {
+        const int64_t r = p2 ? rc[p] >> sh : rc[p] / tn;
+        const int64_t c = p2 ? rc[p] & (tn - 1) : rc[p] % tn;
+        double x = std::ldexp(val[p], 7 - (int)e_of[c]);
+        int8_t* cell = slab + r * width + (int64_t)y * tn + c;
+        for (int64_t s = 0; s < sb; ++s) {
+          const double q = std::trunc(x);
+          cell[s * max_b * tn] = (int8_t)q;
+          x = (x - q) * 128.0;
+        }
+      }
     }
   }
 }

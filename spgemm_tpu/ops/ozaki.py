@@ -320,15 +320,56 @@ def _scales_and_slices_prep(a: TileMat, b: TileMat, *,
                 if nza.size and nzb.size else 0.0)
         pmin = (float(nza.min()) * float(nzb.min())
                 if nza.size and nzb.size else 0.0)
-        dd_viable = (pmax < 2.0 ** 120) and (pmin == 0.0
-                                             or pmin > 2.0 ** -120)
-        if dd_viable:
-            raise OzakiOverflow(
-                f"per-row/col significand span {max(span_a, span_b)} "
-                f"bits is far beyond the {7 * MAX_SLICES}-bit slice "
-                "window — extreme multi-scale data; routing prefers "
-                "the double-double scan")
+        _extreme_span_check(max(span_a, span_b), pmax, pmin)
     return ad, bd, ea, eb, sa, sb, max(span_a, span_b)
+
+
+def _extreme_span_check(span: int, pmax: float, pmin: float) -> None:
+    """strict=True routing: prefer the DD scan for extreme multi-scale
+    data when the DD planes can represent the products (see
+    _scales_and_slices_prep's comment for the full rationale)."""
+    dd_viable = (pmax < 2.0 ** 120) and (pmin == 0.0
+                                         or pmin > 2.0 ** -120)
+    if dd_viable:
+        raise OzakiOverflow(
+            f"per-row/col significand span {span} bits is far beyond "
+            f"the {7 * MAX_SLICES}-bit slice window — extreme "
+            "multi-scale data; routing prefers the double-double scan")
+
+
+def _scales_spans_native(a: TileMat, b: TileMat, *, strict: bool = False):
+    """Native tile-CSR half of _scales_and_slices_prep: per-row/col
+    pow2 scales, adaptive slice counts and the strict extreme-span
+    routing check WITHOUT materializing dense f64 cubes (three O(nnz)
+    passes in native/csr2tile.cpp vs ~14 s of cube traffic at cant
+    scale). Returns (ea, eb, sa, sb, span) or None when the native
+    library is unavailable."""
+    from spgemm_tpu.utils.native import (ozaki_scales_native,
+                                         ozaki_span_native)
+
+    ma = ozaki_scales_native(a, 0)
+    if ma is None:
+        return None
+    mb = ozaki_scales_native(b, 1)
+    if not (np.isfinite(a.val).all() and np.isfinite(b.val).all()):
+        raise ValueError("ozaki engine requires finite values")
+    _, ea_e = np.frexp(ma)
+    ea_e[ma == 0.0] = 0
+    ea = ea_e.astype(np.int64)
+    _, eb_e = np.frexp(mb)
+    eb_e[mb == 0.0] = 0
+    eb = eb_e.astype(np.int64)
+    span_a, amax_a, amin_a = ozaki_span_native(a, 0, ea)
+    span_b, amax_b, amin_b = ozaki_span_native(b, 1, eb)
+    sa = min(MAX_SLICES, max(1, -(-span_a // 7)))
+    sb = min(MAX_SLICES, max(1, -(-span_b // 7)))
+    span = max(span_a, span_b)
+    if strict and span > 7 * MAX_SLICES + 64:
+        both = amax_a > 0.0 and amax_b > 0.0
+        _extreme_span_check(span,
+                            amax_a * amax_b if both else 0.0,
+                            amin_a * amin_b if both else 0.0)
+    return ea, eb, sa, sb, span
 
 
 # --- device numeric ---------------------------------------------------------
@@ -701,8 +742,13 @@ def build_ozaki_strip(a: TileMat, b: TileMat, *,
         raise OzakiOverflow(
             f"dense cubes {dense_bytes/1e9:.1f} GB — unstructured "
             "pattern; use the double-double scan engine")
-    ad, bd, ea, eb, sa, sb, span = _scales_and_slices_prep(
-        a, b, strict=strict)
+    prep = _scales_spans_native(a, b, strict=strict)
+    if prep is not None:
+        ea, eb, sa, sb, span = prep
+        ad = bd = None  # tile-CSR slicing below, no dense cubes
+    else:
+        ad, bd, ea, eb, sa, sb, span = _scales_and_slices_prep(
+            a, b, strict=strict)
     tm, tk, tn = a.tm, a.tn, b.tn
     # pair-group truncation: when the data's bit span already exceeds
     # the slice window (general doubles), groups p > max(sa, sb) sit
@@ -750,32 +796,41 @@ def build_ozaki_strip(a: TileMat, b: TileMat, *,
     else:
         raise err or ValueError("ozaki strip geometry infeasible")
 
-    # int8 slice stacks in the strip layouts
-    exp_a = ea.reshape(a.gm, tm)[a.trow.astype(np.int64)][:, :, None]
-    exp_b = eb.reshape(b.gn, tn)[b.tcol.astype(np.int64)][:, None, :]
-    a_slices = _slice_int8(ad, exp_a, sa)        # (Sa, nt, tm, tk)
-    b_slices = _slice_int8(bd, exp_b, sb)        # (Sb, nt, tk, tn)
-
-    from spgemm_tpu.utils.native import pool_array
+    # int8 slice stacks in the strip layouts — native path writes them
+    # straight from tile CSR (O(nnz)); fallback goes through the dense
+    # cubes and layout copies
+    from spgemm_tpu.utils.native import (ozaki_slice_a_native,
+                                         ozaki_slice_b_native, pool_array)
     nt_pad = a.nt + sargs.max_ablock
     av8 = pool_array((nt_pad, stack_rows, tk), np.int8, zero=True)
-    av8[: a.nt, : sa * tm] = a_slices.transpose(1, 0, 2, 3).reshape(
-        a.nt, sa * tm, tk)
-
     gk_pad = sargs.b_val.shape[0]
-    bptr = b.tptr.astype(np.int64)
-    cnt_b = np.diff(bptr)
-    rank_b = np.arange(b.nt, dtype=np.int64) - np.repeat(bptr[:-1], cnt_b)
-    kb = np.repeat(np.arange(a.gn, dtype=np.int64), cnt_b)
-    slot_b = kb * sargs.max_b + rank_b
-    bp = pool_array((sb, gk_pad * sargs.max_b, tk, tn), np.int8, zero=True)
-    bp[:, slot_b] = b_slices
     # column layout (t, y): prod[:, (t*max_b + y)*tn : ...] is slice t,
     # B slot y — one fat N = sb*max_b*tn MXU dot per A tile
-    bv8 = pool_array((gk_pad, tk, sb * sargs.max_b * tn), np.int8)
-    np.copyto(bv8.reshape(gk_pad, tk, sb, sargs.max_b * tn),
-              bp.reshape(sb, gk_pad, sargs.max_b, tk, tn).transpose(
-                  1, 3, 0, 2, 4).reshape(gk_pad, tk, sb, sargs.max_b * tn))
+    bv8 = pool_array((gk_pad, tk, sb * sargs.max_b * tn), np.int8,
+                     zero=ad is None)
+    if ad is None:
+        ozaki_slice_a_native(a, sa, stack_rows, ea, av8)
+        ozaki_slice_b_native(b, sargs.max_b, sb, eb, bv8)
+    else:
+        exp_a = ea.reshape(a.gm, tm)[a.trow.astype(np.int64)][:, :, None]
+        exp_b = eb.reshape(b.gn, tn)[b.tcol.astype(np.int64)][:, None, :]
+        a_slices = _slice_int8(ad, exp_a, sa)    # (Sa, nt, tm, tk)
+        b_slices = _slice_int8(bd, exp_b, sb)    # (Sb, nt, tk, tn)
+        av8[: a.nt, : sa * tm] = a_slices.transpose(1, 0, 2, 3).reshape(
+            a.nt, sa * tm, tk)
+        bptr = b.tptr.astype(np.int64)
+        cnt_b = np.diff(bptr)
+        rank_b = (np.arange(b.nt, dtype=np.int64)
+                  - np.repeat(bptr[:-1], cnt_b))
+        kb = np.repeat(np.arange(a.gn, dtype=np.int64), cnt_b)
+        slot_b = kb * sargs.max_b + rank_b
+        bp = pool_array((sb, gk_pad * sargs.max_b, tk, tn), np.int8,
+                        zero=True)
+        bp[:, slot_b] = b_slices
+        np.copyto(bv8.reshape(gk_pad, tk, sb, sargs.max_b * tn),
+                  bp.reshape(sb, gk_pad, sargs.max_b, tk, tn).transpose(
+                      1, 3, 0, 2, 4).reshape(
+                          gk_pad, tk, sb, sargs.max_b * tn))
 
     return OzakiStripPlan(
         sargs=sargs, av8=av8, bv8=bv8, ea=ea, eb=eb, sa=sa, sb=sb,

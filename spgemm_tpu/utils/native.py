@@ -820,6 +820,96 @@ def pack_a_tiles_native(a, max_ablock: int):
     return a_val, a_occ16.view(_jnp.bfloat16)
 
 
+I8 = ctypes.POINTER(ctypes.c_int8)
+
+
+def ozaki_scales_native(t, axis: int):
+    """Per-row (axis=0) or per-column (axis=1) |v| maxima of a TileMat,
+    shape (gdim*span,) f64 — the scale pass of ops/ozaki.py's
+    _scales_and_slices_prep, from tile CSR (no dense cube). None if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ozaki_absmax"):
+        return None
+    span = t.tm if axis == 0 else t.tn
+    gdim = t.gm if axis == 0 else t.gn
+    owner = np.ascontiguousarray(t.trow if axis == 0 else t.tcol, np.int32)
+    tnnz = np.ascontiguousarray(t.tnnz_ptr, np.int32)
+    rc = np.ascontiguousarray(t.rc, np.int32)
+    val = np.ascontiguousarray(t.val, np.float64)
+    out = np.zeros(gdim * span, np.float64)
+    lib.ozaki_absmax(
+        _ptr(tnnz, I32), _ptr(rc, I32), _ptr(val, F64), _ptr(owner, I32),
+        ctypes.c_int64(t.nt), ctypes.c_int64(t.tn),
+        ctypes.c_int64(span), ctypes.c_int64(axis), _ptr(out, F64))
+    return out
+
+
+def ozaki_span_native(t, axis: int, exps: np.ndarray):
+    """(bit span, |v| max, nonzero |v| min) of a TileMat against its
+    scale exponents — ops/ozaki.py:_span_slices plus the extreme-span
+    routing stats, from tile CSR. None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ozaki_span"):
+        return None
+    span = t.tm if axis == 0 else t.tn
+    owner = np.ascontiguousarray(t.trow if axis == 0 else t.tcol, np.int32)
+    tnnz = np.ascontiguousarray(t.tnnz_ptr, np.int32)
+    rc = np.ascontiguousarray(t.rc, np.int32)
+    val = np.ascontiguousarray(t.val, np.float64)
+    e = np.ascontiguousarray(exps, np.int64)
+    out3 = np.zeros(3, np.float64)
+    lib.ozaki_span(
+        _ptr(tnnz, I32), _ptr(rc, I32), _ptr(val, F64), _ptr(owner, I32),
+        ctypes.c_int64(t.nt), ctypes.c_int64(t.tn),
+        ctypes.c_int64(span), ctypes.c_int64(axis), _ptr(e, I64),
+        _ptr(out3, F64))
+    return int(out3[0]), float(out3[1]), float(out3[2])
+
+
+def ozaki_slice_a_native(t, sa: int, stack_rows: int, ea: np.ndarray,
+                         av8: np.ndarray) -> bool:
+    """Write A's int8 digit stacks av8[t, s*tm + r, c] straight from
+    tile CSR (av8 pre-zeroed, (nt_pad, stack_rows, tk)). False if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ozaki_slice_a"):
+        return False
+    tnnz = np.ascontiguousarray(t.tnnz_ptr, np.int32)
+    rc = np.ascontiguousarray(t.rc, np.int32)
+    val = np.ascontiguousarray(t.val, np.float64)
+    trow = np.ascontiguousarray(t.trow, np.int32)
+    e = np.ascontiguousarray(ea, np.int64)
+    lib.ozaki_slice_a(
+        _ptr(tnnz, I32), _ptr(rc, I32), _ptr(val, F64), _ptr(trow, I32),
+        ctypes.c_int64(t.nt), ctypes.c_int64(t.tm), ctypes.c_int64(t.tn),
+        ctypes.c_int64(sa), ctypes.c_int64(stack_rows), _ptr(e, I64),
+        _ptr(av8, I8))
+    return True
+
+
+def ozaki_slice_b_native(t, max_b: int, sb: int, eb: np.ndarray,
+                         bv8: np.ndarray) -> bool:
+    """Write B's int8 digit stacks bv8[k, r, (s*max_b + y)*tn + c]
+    straight from tile CSR (bv8 pre-zeroed, (gk_pad, tk, sb*max_b*tn)).
+    False if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "ozaki_slice_b"):
+        return False
+    tptr = np.ascontiguousarray(t.tptr, np.int32)
+    tnnz = np.ascontiguousarray(t.tnnz_ptr, np.int32)
+    rc = np.ascontiguousarray(t.rc, np.int32)
+    val = np.ascontiguousarray(t.val, np.float64)
+    tcol = np.ascontiguousarray(t.tcol, np.int32)
+    e = np.ascontiguousarray(eb, np.int64)
+    lib.ozaki_slice_b(
+        _ptr(tptr, I32), _ptr(tnnz, I32), _ptr(rc, I32), _ptr(val, F64),
+        _ptr(tcol, I32), ctypes.c_int64(t.gm), ctypes.c_int64(t.tm),
+        ctypes.c_int64(t.tn), ctypes.c_int64(max_b), ctypes.c_int64(sb),
+        _ptr(e, I64), _ptr(bv8, I8))
+    return True
+
+
 def pack_strip_operands_native(a, b, max_ablock: int, max_b: int):
     """Native packing of the strip kernel's device operands: A dense
     blocks (f32 + bf16 occupancy) and stacked B slabs. Returns
