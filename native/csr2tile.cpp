@@ -573,6 +573,44 @@ namespace {
 struct Cell { float pv; int32_t mt; };
 struct CellS { float pv; int32_t mt; int32_t p, q; };
 
+// Per-dest placement, seeded by the layout pass and READ-ONLY in the
+// scatter pass: pos = start + rank, where rank (the product's arrival
+// ordinal within its dest) is emitted by the dup-count pass. A
+// read-only 16-B load replaced the earlier cur++ read-modify-write —
+// 399 M random stores gone from the rmat65536 build.
+struct DestCur { int64_t start; int64_t end_slot; };  // end<<7 | slot
+
+// One C row's product scatter into the assembly arena, templated on
+// the rank width (u16 when the row's A-nnz <= 65535, so dup fits) and
+// the cell type (sources or not).
+template <typename RankT, typename CellT>
+inline void scan_scatter_row(
+    const int32_t* a_indptr, const int32_t* a_indices,
+    const int32_t* b_indptr, const double* a_data, const double* b_data,
+    int64_t i, int64_t f_row, const uint32_t* dls, const RankT* rks,
+    const DestCur* dc, CellT* cells, int64_t abase) {
+  int64_t x = 0;
+  for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+    const int32_t k = a_indices[p];
+    const double aval = a_data[p];
+    const int32_t q0 = b_indptr[k], q1 = b_indptr[k + 1];
+    for (int32_t q = q0; q < q1; ++q, ++x) {
+      if (x + 8 < f_row) __builtin_prefetch(&dc[dls[x + 8]], 0, 3);
+      const DestCur d = dc[dls[x]];
+      const int64_t pos = d.start + rks[x];
+      const int64_t dist = std::min<int64_t>(
+          (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
+      CellT& c = cells[pos - abase];
+      c.pv = (float)(aval * b_data[q]);
+      c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
+      if constexpr (sizeof(CellT) == sizeof(CellS)) {
+        c.p = p;
+        c.q = q;
+      }
+    }
+  }
+}
+
 // Cheap stage clock for the build profiler (tools/profile_esc_plan.py):
 // raw TSC ticks — consumers only use stage *fractions* of the total, so
 // no frequency calibration is needed.
@@ -689,13 +727,8 @@ int64_t esc_scan_build(
   std::vector<int32_t> cols(n);
   std::vector<int32_t> dup(n);
   std::vector<uint32_t> inv(n);   // sorted ordinal -> first-seen ordinal
-  std::vector<int64_t> sdup(n);
-  // Per-dest scatter state, indexed by FIRST-SEEN ordinal so the
-  // product loop needs no perm translation: one 16-B random access per
-  // product (cur++ plus the packed end|slot) replaced four separate
-  // random lookups (perm, cursor, off_loc, sdup) — the scatter stage
-  // was 34-39% of the build.
-  struct DestCur { int64_t cur; int64_t end_slot; };  // end<<7 | slot
+  // Per-dest placement, indexed by FIRST-SEEN ordinal so the product
+  // loop needs no perm translation (see DestCur above).
   std::vector<DestCur> dc(n);
   const int64_t nwords = (n + 63) >> 6;
   std::vector<uint64_t> bits(nwords, 0);
@@ -703,8 +736,12 @@ int64_t esc_scan_build(
   const int64_t bitmap_thresh = std::max<int64_t>(64, n >> 8);
   // per-product first-seen ordinal, the walk's only output stream
   // (4 B/product; values, source indices and the padded position are
-  // all regenerated in the scatter pass from the same CSR loops)
+  // all regenerated in the scatter pass from the same CSR loops), plus
+  // the per-product within-dest rank from the dup-count pass (u16
+  // unless a row's A-nnz can push a dup past 65535)
   std::vector<uint32_t> dls;
+  std::vector<uint16_t> rk16;
+  std::vector<uint32_t> rk32;
   const bool want = want_src != 0;
 
   int64_t cur_win = 0;     // open window index
@@ -815,19 +852,32 @@ int64_t esc_scan_build(
         // hide the stamp map's L2 latency: the b row gives lookahead
         if (q + 8 < qe) __builtin_prefetch(&sta[b_indices[q + 8]], 1, 3);
         const int32_t j = b_indices[q];
-        uint32_t t;
+        // branchless first-seen (~41% of rmat products open a new
+        // dest: the branch mispredicts); dup counting is deferred to a
+        // separate prefetched pass over dls — dup[t] here would be a
+        // DEPENDENT random load (t only known after sta[j] arrives)
         const uint64_t s = sta[j];
-        if ((s >> 32) != (uint64_t)i) {
-          t = (uint32_t)cnt;
-          sta[j] = ((uint64_t)i << 32) | t;
-          cols[cnt] = j;
-          dup[cnt] = 1;
-          ++cnt;
-        } else {
-          t = (uint32_t)s;
-          ++dup[t];
-        }
+        const bool fresh = (s >> 32) != (uint64_t)i;
+        const uint32_t t = fresh ? (uint32_t)cnt : (uint32_t)s;
+        sta[j] = ((uint64_t)i << 32) | t;
+        cols[cnt] = j;
+        cnt += fresh;
         dls[f_row++] = t;
+      }
+    }
+    memset(dup.data(), 0, (size_t)cnt * sizeof(int32_t));
+    const bool r16 = (a_indptr[i + 1] - a_indptr[i]) <= 65535;
+    if (r16) {
+      if ((int64_t)rk16.size() < fb) rk16.resize(fb);
+      for (int64_t x = 0; x < f_row; ++x) {
+        if (x + 12 < f_row) __builtin_prefetch(&dup[dls[x + 12]], 1, 3);
+        rk16[x] = (uint16_t)dup[dls[x]]++;
+      }
+    } else {
+      if ((int64_t)rk32.size() < fb) rk32.resize(fb);
+      for (int64_t x = 0; x < f_row; ++x) {
+        if (x + 12 < f_row) __builtin_prefetch(&dup[dls[x + 12]], 1, 3);
+        rk32[x] = (uint32_t)dup[dls[x]]++;
       }
     }
     const uint64_t t2_ = stage_tsc();
@@ -836,7 +886,12 @@ int64_t esc_scan_build(
       c_indptr[i + 1] = (int32_t)base;
       continue;
     }
-    // 2. sorted extraction
+    // 2. sorted extraction, two phases so the random sta lookups get a
+    // flat prefetch target: (a) decode the dest set into c_indices in
+    // sorted order (AVX-512 compress-store: 16 lanes per mask word
+    // quarter), (b) one prefetched pass translating col -> first-seen
+    // ordinal. sdup moves into the layout loop (same prefetch trick).
+    int32_t* cind = c_indices + base;
     if (cnt >= bitmap_thresh) {
       for (int64_t t = 0; t < cnt; ++t)
         bits[cols[t] >> 6] |= (uint64_t)1 << (cols[t] & 63);
@@ -845,25 +900,31 @@ int64_t esc_scan_build(
         uint64_t word = bits[w];
         if (!word) continue;
         bits[w] = 0;
-        while (word) {
-          const int32_t j = (int32_t)((w << 6) + __builtin_ctzll(word));
-          word &= word - 1;
-          const uint32_t fs = (uint32_t)sta[j];
-          c_indices[base + s] = j;
-          sdup[s] = dup[fs];
-          inv[s] = fs;
-          ++s;
+#if defined(__AVX512F__)
+        const __m512i lane0 = _mm512_setr_epi32(
+            0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15);
+        __m512i v = _mm512_add_epi32(lane0, _mm512_set1_epi32(w << 6));
+        const __m512i step = _mm512_set1_epi32(16);
+        for (int h = 0; h < 4; ++h) {
+          const __mmask16 mk = (__mmask16)(word >> (16 * h));
+          _mm512_mask_compressstoreu_epi32(cind + s, mk, v);
+          s += __builtin_popcount(mk);
+          v = _mm512_add_epi32(v, step);
         }
+#else
+        while (word) {
+          cind[s++] = (int32_t)((w << 6) + __builtin_ctzll(word));
+          word &= word - 1;
+        }
+#endif
       }
     } else {
       std::sort(cols.begin(), cols.begin() + cnt);
-      for (int64_t s = 0; s < cnt; ++s) {
-        const int32_t j = cols[s];
-        const uint32_t fs = (uint32_t)sta[j];
-        c_indices[base + s] = j;
-        sdup[s] = dup[fs];
-        inv[s] = fs;
-      }
+      memcpy(cind, cols.data(), (size_t)cnt * sizeof(int32_t));
+    }
+    for (int64_t t = 0; t < cnt; ++t) {
+      if (t + 16 < cnt) __builtin_prefetch(&sta[cind[t + 16]], 0, 3);
+      inv[t] = (uint32_t)sta[cind[t]];
     }
     const uint64_t t3_ = stage_tsc();
     t_extract += t3_ - t2_;
@@ -872,37 +933,57 @@ int64_t esc_scan_build(
     // every product anyway, so it emits them at orel==0 and at row
     // crossings — one pass over the (cache-resident) arena instead of
     // a second walk.
-    for (int64_t t = 0; t < cnt; ++t) {
-      const int64_t d = base + t;
-      close_windows_until(d >> 7);
-      const int64_t off = rows_alloc * 128 + win_used;
-      const int64_t dp = sdup[t];
-      const int64_t slot = d & 127;
-      const int64_t r0 = off >> 7;
-      const int64_t r1 = (off + dp - 1) >> 7;
-      arena_extend(r1 + 1);
-      const int64_t run0 = std::min<int64_t>(dp, 128 - (off & 127));
-      if (run0 > max_run) max_run = run0;
-      if (r1 > r0) {
-        // continuation-row runs shrink monotonically; r0+1's is longest
-        const int64_t rem = off + dp - (r0 + 1) * 128;
-        const int64_t runr = std::min<int64_t>(rem, 128);
-        if (runr > max_run) max_run = runr;
+    // Window-aligned blocks: the close/extend checks leave the per-dest
+    // loop, and each block splits into a dup-load pass (random loads,
+    // prefetched, emitting start offsets) and a mark/seed pass (random
+    // stores, prefetched) — separating the two random streams lets each
+    // run at its own prefetch depth instead of serializing per dest.
+    {
+      int64_t t = 0;
+      int64_t offbuf[129];
+      while (t < cnt) {
+        const int64_t d0 = base + t;
+        close_windows_until(d0 >> 7);
+        const int64_t blk = std::min<int64_t>(cnt - t, 128 - (d0 & 127));
+        int64_t off = rows_alloc * 128 + win_used;
+        for (int64_t u = 0; u < blk; ++u) {
+          if (u + 8 < blk) __builtin_prefetch(&dup[inv[t + u + 8]], 0, 3);
+          offbuf[u] = off;
+          off += dup[inv[t + u]];
+        }
+        offbuf[blk] = off;
+        arena_extend(((off - 1) >> 7) + 1);
+        const int64_t abase_ = ar_base * 128;
+        for (int64_t u = 0; u < blk; ++u) {
+          if (u + 8 < blk) __builtin_prefetch(&dc[inv[t + u + 8]], 1, 3);
+          const int64_t o = offbuf[u];
+          const int64_t e = offbuf[u + 1];
+          const int64_t slot = (d0 + u) & 127;
+          const int64_t r0 = o >> 7;
+          const int64_t r1 = (e - 1) >> 7;
+          const int64_t run0 = std::min<int64_t>(e - o, 128 - (o & 127));
+          if (run0 > max_run) max_run = run0;
+          if (r1 > r0) {
+            // continuation-row runs shrink monotonically; r0+1's longest
+            const int64_t runr = std::min<int64_t>(e - (r0 + 1) * 128, 128);
+            if (runr > max_run) max_run = runr;
+          }
+          // run-start / continuation meta marks, written here per DEST
+          // (the scatter loop below stays branch-free per product);
+          // continuation writes are bounded by F/128 + cnt in total
+          int32_t* mt0 = want ? &acells[r0 * 128 + slot - abase_].mt
+                              : &acell[r0 * 128 + slot - abase_].mt;
+          *mt0 |= ((int32_t)(o & 127) << 7) | (1 << 14);
+          for (int64_t r = r0 + 1; r <= r1; ++r) {
+            int32_t* mtc = want ? &acells[r * 128 + slot - abase_].mt
+                                : &acell[r * 128 + slot - abase_].mt;
+            *mtc |= (1 << 14);
+          }
+          dc[inv[t + u]] = DestCur{o, (e << 7) | slot};
+        }
+        win_used = off - rows_alloc * 128;
+        t += blk;
       }
-      // run-start / continuation meta marks, written here per DEST
-      // (the scatter loop below stays branch-free per product). Total
-      // continuation-row writes are bounded by F/128 + cnt.
-      const int64_t abase_ = ar_base * 128;
-      int32_t* mt0 = want ? &acells[r0 * 128 + slot - abase_].mt
-                          : &acell[r0 * 128 + slot - abase_].mt;
-      *mt0 |= ((int32_t)(off & 127) << 7) | (1 << 14);
-      for (int64_t r = r0 + 1; r <= r1; ++r) {
-        int32_t* mtc = want ? &acells[r * 128 + slot - abase_].mt
-                            : &acell[r * 128 + slot - abase_].mt;
-        *mtc |= (1 << 14);
-      }
-      dc[inv[t]] = DestCur{off, ((off + dp) << 7) | slot};
-      win_used += dp;
     }
     const uint64_t t4_ = stage_tsc();
     t_layout += t4_ - t3_;
@@ -915,38 +996,24 @@ int64_t esc_scan_build(
     // random 16-B DestCur access and one arena cell write (the
     // run-start / continuation marks were emitted per dest in layout).
     const int64_t abase = ar_base * 128;
-    {
-      int64_t x = 0;
-      for (int32_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
-        const int32_t k = a_indices[p];
-        const double aval = a_data[p];
-        const int32_t q0 = b_indptr[k], q1 = b_indptr[k + 1];
-        if (!want) {
-          for (int32_t q = q0; q < q1; ++q, ++x) {
-            if (x + 8 < f_row) __builtin_prefetch(&dc[dls[x + 8]], 1, 3);
-            DestCur& d = dc[dls[x]];
-            const int64_t pos = d.cur++;
-            const int64_t dist = std::min<int64_t>(
-                (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
-            Cell& c = acell[pos - abase];
-            c.pv = (float)(aval * b_data[q]);
-            c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
-          }
-        } else {
-          for (int32_t q = q0; q < q1; ++q, ++x) {
-            if (x + 8 < f_row) __builtin_prefetch(&dc[dls[x + 8]], 1, 3);
-            DestCur& d = dc[dls[x]];
-            const int64_t pos = d.cur++;
-            const int64_t dist = std::min<int64_t>(
-                (d.end_slot >> 7) - 1 - pos, 127 - (pos & 127));
-            CellS& c = acells[pos - abase];
-            c.pv = (float)(aval * b_data[q]);
-            c.mt |= (int32_t)((d.end_slot & 127) | (dist << 15));
-            c.p = p;
-            c.q = q;
-          }
-        }
-      }
+    if (!want) {
+      if (r16)
+        scan_scatter_row(a_indptr, a_indices, b_indptr, a_data, b_data,
+                         i, f_row, dls.data(), rk16.data(), dc.data(),
+                         acell.data(), abase);
+      else
+        scan_scatter_row(a_indptr, a_indices, b_indptr, a_data, b_data,
+                         i, f_row, dls.data(), rk32.data(), dc.data(),
+                         acell.data(), abase);
+    } else {
+      if (r16)
+        scan_scatter_row(a_indptr, a_indices, b_indptr, a_data, b_data,
+                         i, f_row, dls.data(), rk16.data(), dc.data(),
+                         acells.data(), abase);
+      else
+        scan_scatter_row(a_indptr, a_indices, b_indptr, a_data, b_data,
+                         i, f_row, dls.data(), rk32.data(), dc.data(),
+                         acells.data(), abase);
     }
     base += cnt;
     c_indptr[i + 1] = (int32_t)base;
