@@ -90,3 +90,33 @@ def chained_device_ms(chain_fn, probe, *chain_args, repeats: int = 3,
         float(chain_fn(*chain_args))
         best = min(best, (time.perf_counter() - t0) * 1e3)
     return max(0.0, best - rtt_ms) / loop, rtt_ms
+
+
+def host_mem_calibration(size_mb: int = 256) -> dict[str, float]:
+    """Measure this host's WARM sequential fill (GB/s) and random-4B
+    write (M/s) rates — the two rates every native plan build is bound
+    by (native/csr2tile.cpp's host-memory model). The container's VM
+    host drifts boot to boot (measured 5.6 vs 10 GB/s seq, 29 vs 49 M/s
+    random across round-3/4 sessions), so plan_ms evidence should carry
+    this calibration line: plan times scale with it, kernel times do
+    not. Arrays are touched once before timing so VMM first-touch
+    backing (~0.1 GB/s here) stays out of the measurement."""
+    import numpy as np
+
+    n = size_mb << 18  # f32 elements
+    x = np.zeros(n, np.float32)
+    x[:] = 1.0
+    seq = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x[:] = 2.0
+        seq.append((n * 4 / 1e9) / (time.perf_counter() - t0))
+    idx = np.random.default_rng(0).integers(0, n, 4_000_000)
+    x[idx] = 3.0
+    rnd = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x[idx] = 4.0
+        rnd.append(4.0 / (time.perf_counter() - t0))
+    return {"seq_fill_gbs": round(max(seq), 2),
+            "rand_write_mops": round(max(rnd), 1)}

@@ -46,10 +46,16 @@ def main():
           f"F={flops}  nnzC={int(c_indptr[-1])}  R={qv.shape[0]}  "
           f"({flops/max(t1-t0,1e-9)/1e6:.1f} M prod/s)")
 
-    # second build: buffers warm in the allocator, steady-state rate
+    # second build: buffers warm in the allocator, steady-state rate.
+    # Release the first build's planes first — holding them would force
+    # the rebuild onto FRESH pool carves that pay first-touch backing
+    # inside the timed region (the same effect de7cf00 fixed in
+    # bench.py's convert loop).
+    del res, qv, meta, asrc, bsrc, c_indptr, c_indices, win_rowptr
     t2 = time.perf_counter()
-    esc_scan_symbolic_native(a, a, keep_sources=keep_sources)
+    res2 = esc_scan_symbolic_native(a, a, keep_sources=keep_sources)
     t3 = time.perf_counter()
+    del res2
     print(f"rebuild (warm):         {1e3*(t3-t2):9.1f} ms  "
           f"({flops/max(t3-t2,1e-9)/1e6:.1f} M prod/s)")
 

@@ -55,6 +55,10 @@ def main(argv=None) -> int:
                     help="f64 routes structured regimes to the Ozaki "
                          "int8-slice engine, unstructured to the "
                          "double-double scan (no x64 needed)")
+    ap.add_argument("--configs", default="A2,AAT,SpMM128",
+                    help="comma-set of A2,AAT,SpMM128 to run (e.g. a "
+                         "single huge A2 row to exercise the sampled "
+                         "oracle without paying its AAT/SpMM twins)")
     ap.add_argument("--resume", action="store_true",
                     help="skip (matrix, config) rows already in the summary")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -138,7 +142,10 @@ def main(argv=None) -> int:
 
     for name, a in mats.items():
         print(f"=== {name}: m={a.m} nnz={a.nnz}", flush=True)
+        want = {c.strip() for c in args.configs.split(",") if c.strip()}
         for cfg, aat in [("A2", False), ("AAT", True)]:
+            if cfg not in want:
+                continue
             if (name, cfg) in done:
                 print(f"  {cfg}: skipped (resume)", flush=True)
                 continue
@@ -272,6 +279,8 @@ def main(argv=None) -> int:
                   f"gflops={gflops:.2f} device_ms={dev_ms} "
                   f"device_gflops={dev_gflops} {verdict}", flush=True)
         # SpMM k=128
+        if "SpMM128" not in want:
+            continue
         if (name, "SpMM128") in done:
             print("  SpMM128: skipped (resume)", flush=True)
             continue
